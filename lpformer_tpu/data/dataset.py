@@ -1,0 +1,105 @@
+"""Dataset container + device bundle assembly.
+
+``LinkPredDataset`` plays the role of the reference's universal ``data``
+dict (reference: src/util/read_datasets.py:24-26): splits as host arrays,
+plus one :class:`GraphBundle` per adjacency variant (train graph, and the
+"full" graph including validation edges for ``--use-val-in-test``,
+reference: read_datasets.py:97-129).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from lpformer_tpu.graph.containers import CSRGraph, GraphBundle, PaddedRows
+from lpformer_tpu.graph import preprocess as pp
+from lpformer_tpu.ops import masking
+
+
+def build_graph_bundle(
+    x: np.ndarray,
+    edge_src: np.ndarray,
+    edge_dst: np.ndarray,
+    edge_w: Optional[np.ndarray],
+    num_nodes: int,
+    ppr_csr: CSRGraph,
+    adj_cap: Optional[int] = None,
+    ppr_cap: Optional[int] = None,
+    symmetrize: bool = True,
+    mask_uniq_keys: Optional[np.ndarray] = None,
+) -> GraphBundle:
+    """Assemble the static device-side graph state.
+
+    ``edge_src/dst/w`` is the raw (possibly directed, possibly weighted)
+    edge_index; we build:
+      * the weighted symmetric adjacency for propagation (reference adj_t,
+        read_datasets.py:85-92),
+      * the binarized padded rows for context extraction (adj_mask, :95),
+      * padded PPR rows from ``ppr_csr``.
+    """
+    if symmetrize:
+        s, d, w = pp.symmetrize(edge_src, edge_dst, edge_w, num_nodes)
+    else:
+        s, d, w = pp.coalesce_edges(edge_src, edge_dst, edge_w, num_nodes)
+    # propagation layout: sorted by destination for sorted segment_sum
+    ps_, pd_, pw_ = pp.sort_by_dst(
+        s.astype(np.int32), d.astype(np.int32), w, num_nodes
+    )
+    adj_csr = pp.edges_to_csr(s, d, w, num_nodes, coalesce=False)
+    entry_ranks = (
+        masking.edge_ranks_for_csr(adj_csr, mask_uniq_keys)
+        if mask_uniq_keys is not None
+        else None
+    )
+    adj_rows = PaddedRows.from_csr(
+        pp.binarize_csr(adj_csr),
+        cap=adj_cap,
+        with_vals=False,
+        entry_ranks=entry_ranks,
+    )
+    ppr_rows = PaddedRows.from_csr(ppr_csr, cap=ppr_cap, with_vals=True)
+    deg = pp.out_degrees(np.asarray(edge_src, np.int64), num_nodes)
+    return GraphBundle(
+        x=jnp.asarray(x, jnp.float32),
+        edge_src=jnp.asarray(ps_, jnp.int32),
+        edge_dst=jnp.asarray(pd_, jnp.int32),
+        edge_w=jnp.asarray(pw_, jnp.float32),
+        adj_rows=adj_rows,
+        ppr_rows=ppr_rows,
+        degree=jnp.asarray(deg, jnp.float32),
+        num_nodes=num_nodes,
+        num_edges=int(len(ps_)),
+    )
+
+
+@dataclasses.dataclass
+class LinkPredDataset:
+    name: str
+    num_nodes: int
+    graph: GraphBundle               # train-time adjacency/PPR
+    graph_test: GraphBundle          # eval adjacency/PPR (may be the same)
+    train_pos: np.ndarray            # [M, 2]
+    train_pos_val: np.ndarray        # [V, 2] random train subset, reference
+                                     # read_datasets.py:70-71
+    valid_pos: np.ndarray
+    valid_neg: np.ndarray            # [Vn, 2] or [V, K, 2] (HeaRT)
+    test_pos: np.ndarray
+    test_neg: np.ndarray
+    metric: str = "MRR"              # per-dataset metric, reference run.py:102-120
+    heart: bool = False
+    # masking precompute (reference train_model.py:38-45 semantics)
+    mask_uniq_keys: Optional[np.ndarray] = None
+    mask_mult: Optional[np.ndarray] = None
+
+    def __post_init__(self):
+        if self.mask_uniq_keys is None:
+            self.mask_uniq_keys, self.mask_mult = masking.train_edge_info(
+                self.train_pos[:, 0], self.train_pos[:, 1], self.num_nodes
+            )
+
+    @property
+    def mask_mult_device(self) -> jnp.ndarray:
+        return jnp.asarray(self.mask_mult, jnp.int32)

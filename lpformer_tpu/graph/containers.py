@@ -1,0 +1,186 @@
+"""Static graph containers.
+
+The reference framework (LPFormer) keeps the graph as dynamic sparse-COO /
+torch_sparse tensors and does per-batch sparse algebra on them
+(reference: src/models/link_transformer.py:214-319,434-481). That is the
+antithesis of XLA's static-shape compilation model. Here every graph
+artifact is a *fixed-shape* array built once in preprocessing:
+
+  * ``CSRGraph``    — host-side CSR (numpy), the preprocessing currency.
+  * ``PaddedRows``  — device-side [N, K] padded row layout ("ELL" format):
+                      per-row sorted neighbor ids (pad = N sentinel) plus
+                      optional per-entry values. Sorted rows make membership
+                      tests / value lookups O(log K) via vectorized binary
+                      search, which is how the per-link context sets are
+                      extracted on-device with static shapes.
+  * ``GraphBundle`` — everything a model forward needs, as one pytree whose
+                      leaves are device arrays and whose metadata (shapes,
+                      caps) is static.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class CSRGraph:
+    """Host-side CSR adjacency. Rows sorted by column id within each row."""
+
+    indptr: np.ndarray   # [N+1] int64
+    indices: np.ndarray  # [nnz] int32/int64, sorted within each row
+    weights: np.ndarray  # [nnz] float32
+    num_nodes: int
+
+    @property
+    def nnz(self) -> int:
+        return int(self.indices.shape[0])
+
+    def row(self, i: int) -> np.ndarray:
+        return self.indices[self.indptr[i]:self.indptr[i + 1]]
+
+    def row_weights(self, i: int) -> np.ndarray:
+        return self.weights[self.indptr[i]:self.indptr[i + 1]]
+
+    def degrees(self) -> np.ndarray:
+        return (self.indptr[1:] - self.indptr[:-1]).astype(np.int32)
+
+    def to_coo(self):
+        """Return (src, dst, w) sorted by (src, dst)."""
+        src = np.repeat(
+            np.arange(self.num_nodes, dtype=np.int32), self.degrees()
+        )
+        return src, self.indices.astype(np.int32), self.weights
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["nbrs", "vals", "counts", "ranks"],
+    meta_fields=["cap", "num_nodes"],
+)
+@dataclasses.dataclass(frozen=True)
+class PaddedRows:
+    """[N, K] padded per-row neighbor lists, sorted ascending, pad = N.
+
+    The pad sentinel equals ``num_nodes`` so that sorted order is preserved
+    (all real ids < N) and binary searches never match padding.
+
+    ``ranks`` is an optional int32 side array carrying each entry's
+    undirected-train-edge rank (see :mod:`lpformer_tpu.ops.masking`);
+    -1 at padding / non-train entries.
+    """
+
+    nbrs: jnp.ndarray             # [N, K] int32, sorted, pad = num_nodes
+    vals: Optional[jnp.ndarray]   # [N, K] float32 or None (0.0 at padding)
+    counts: jnp.ndarray           # [N] int32 actual row lengths (<= K)
+    ranks: Optional[jnp.ndarray]  # [N, K] int32 or None (-1 at padding)
+    cap: int
+    num_nodes: int
+
+    @staticmethod
+    def from_csr(
+        csr: CSRGraph,
+        cap: Optional[int] = None,
+        with_vals: bool = True,
+        entry_ranks: Optional[np.ndarray] = None,
+    ) -> "PaddedRows":
+        """Build padded rows from CSR. Rows longer than ``cap`` keep the
+        ``cap`` entries with the largest weights (ties → smaller node id),
+        mirroring "keep the most important context nodes" if a cap ever
+        truncates; overflow is reported by ``overflow_rows``.
+
+        ``entry_ranks``: optional int32 array aligned with the CSR entry
+        order, carried through selection/sorting into the padded layout.
+        """
+        n = csr.num_nodes
+        deg = csr.indptr[1:] - csr.indptr[:-1]
+        max_deg = int(deg.max()) if n > 0 and len(deg) else 0
+        k = max_deg if cap is None else int(cap)
+        k = max(k, 1)
+        nbrs = np.full((n, k), n, dtype=np.int32)
+        vals = np.zeros((n, k), dtype=np.float32)
+        rks = (
+            np.full((n, k), -1, dtype=np.int32)
+            if entry_ranks is not None
+            else None
+        )
+        counts = np.minimum(deg, k).astype(np.int32)
+
+        # Vectorized scatter (no per-row python loop; N can be millions):
+        # order entries within each row by descending weight so that a cap
+        # keeps the top-k-by-weight, scatter into [N, k], then re-sort each
+        # row by node id (pads sort to the end as id == n).
+        rows = np.repeat(np.arange(n, dtype=np.int64), deg)
+        if max_deg > k:
+            order = np.lexsort((-csr.weights, rows))
+        else:
+            order = np.arange(csr.nnz, dtype=np.int64)
+        r_sorted = rows[order]
+        pos_in_row = np.arange(csr.nnz, dtype=np.int64) - np.repeat(
+            csr.indptr[:-1], deg
+        )
+        keep = pos_in_row < k
+        rk, pk, ok = r_sorted[keep], pos_in_row[keep], order[keep]
+        nbrs[rk, pk] = csr.indices[ok]
+        vals[rk, pk] = csr.weights[ok]
+        if rks is not None:
+            rks[rk, pk] = entry_ranks[ok]
+        if max_deg > k:
+            resort = np.argsort(nbrs, axis=1, kind="stable")
+            nbrs = np.take_along_axis(nbrs, resort, axis=1)
+            vals = np.take_along_axis(vals, resort, axis=1)
+            if rks is not None:
+                rks = np.take_along_axis(rks, resort, axis=1)
+        return PaddedRows(
+            nbrs=jnp.asarray(nbrs),
+            vals=jnp.asarray(vals) if with_vals else None,
+            counts=jnp.asarray(counts),
+            ranks=jnp.asarray(rks) if rks is not None else None,
+            cap=k,
+            num_nodes=n,
+        )
+
+    def overflow_rows(self, csr: CSRGraph) -> int:
+        deg = csr.indptr[1:] - csr.indptr[:-1]
+        return int((deg > self.cap).sum())
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "x",
+        "edge_src",
+        "edge_dst",
+        "edge_w",
+        "adj_rows",
+        "ppr_rows",
+        "degree",
+    ],
+    meta_fields=["num_nodes", "num_edges"],
+)
+@dataclasses.dataclass(frozen=True)
+class GraphBundle:
+    """Device-side graph state for one adjacency variant (train or test).
+
+    Mirrors the role of the reference's ``data`` dict entries
+    (reference: src/util/read_datasets.py:85-129):
+      adj_t     -> (edge_src, edge_dst, edge_w) COO sorted by dst, for SpMM
+      adj_mask  -> adj_rows (binarized padded rows, for context extraction)
+      ppr       -> ppr_rows (padded PPR rows with values)
+      degree    -> degree
+    """
+
+    x: jnp.ndarray          # [N, F] node features
+    edge_src: jnp.ndarray   # [E] int32, COO sorted by (dst, src)
+    edge_dst: jnp.ndarray   # [E] int32
+    edge_w: jnp.ndarray     # [E] float32 (raw weights; GCN-norm applied in op)
+    adj_rows: PaddedRows    # binarized, symmetric adjacency
+    ppr_rows: PaddedRows    # personalized-PageRank rows (values = ppr scores)
+    degree: jnp.ndarray     # [N] float32 out-degrees of raw edge_index
+    num_nodes: int
+    num_edges: int

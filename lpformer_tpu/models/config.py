@@ -1,0 +1,69 @@
+"""Model configuration.
+
+One frozen dataclass covering the reference's ``train_args`` dict
+(reference: src/run.py:122-143) plus the TPU-specific static budgets.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+from lpformer_tpu.ops.context import ContextConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class LPFormerConfig:
+    dim: int = 128
+    num_heads: int = 1
+    gnn_layers: int = 2
+    trans_layers: int = 1
+    pred_layers: int = 2
+
+    thresh_cn: float = 0.0
+    thresh_1hop: float = 1e-2
+    thresh_non1hop: float = 1e-2
+
+    residual: bool = False
+    layer_norm: bool = True
+    relu: bool = True
+
+    dropout: float = 0.2      # post-attention dropout in the transformer layer
+    gnn_drop: float = 0.2
+    att_drop: float = 0.1     # context-node subsampling rate
+    feat_drop: float = 0.0
+    pred_drop: float = 0.0
+
+    # static per-class context budgets (TPU shape caps; set to the padded
+    # row caps for exact reference behavior)
+    budget_cn: int = 128
+    budget_onehop: int = 256
+    budget_non1hop: int = 128
+
+    @property
+    def mask_mode(self) -> str:
+        if self.thresh_non1hop == 1 and self.thresh_1hop == 1:
+            return "cn"
+        if self.thresh_non1hop == 1 and self.thresh_1hop < 1:
+            return "1-hop"
+        return "all"
+
+    @property
+    def context(self) -> ContextConfig:
+        return ContextConfig(
+            mask_mode=self.mask_mode,
+            thresh_cn=self.thresh_cn,
+            thresh_1hop=self.thresh_1hop,
+            thresh_non1hop=self.thresh_non1hop,
+            budget_cn=self.budget_cn,
+            budget_onehop=self.budget_onehop,
+            budget_non1hop=self.budget_non1hop,
+            att_drop=self.att_drop,
+        )
+
+    @property
+    def count_dim(self) -> int:
+        return self.context.count_dim
+
+    @property
+    def out_dim(self) -> int:
+        # elementwise dim + pairwise dim (reference link_transformer.py:50)
+        return self.dim * 2

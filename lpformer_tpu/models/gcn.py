@@ -1,0 +1,87 @@
+"""GCN node encoder.
+
+Functional re-design of the reference's GCN stack
+(reference: src/models/other_models.py:10-76, src/modules/node_encoder.py)
+on top of the TPU SpMM op. Per layer, exactly the reference ordering:
+conv -> LayerNorm -> dropout -> ReLU -> (residual when dims match).
+
+GCNConv semantics match PyG defaults: x' = A_hat (x W) + b with
+A_hat = D^{-1/2}(A + I)D^{-1/2}, W glorot-initialized without bias inside
+the matmul, plus a zero-initialized output bias.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from lpformer_tpu.nn import core as nn
+from lpformer_tpu.ops import spmm
+
+
+def gcn_init(
+    key: jax.Array,
+    in_dim: int,
+    hid_dim: int,
+    out_dim: int,
+    num_layers: int,
+    layer_norm: bool = True,
+) -> Dict:
+    if num_layers == 1:
+        hid_dim = out_dim  # reference other_models.py:32-33
+    dims = [in_dim] + [hid_dim] * max(num_layers - 1, 0) + [out_dim]
+    if num_layers == 1:
+        dims = [in_dim, out_dim]
+    keys = jax.random.split(key, num_layers)
+    convs, lns = [], []
+    for i in range(num_layers):
+        d_in, d_out = dims[i], dims[i + 1]
+        lin = nn.linear_init(keys[i], d_in, d_out, bias=False, kind="glorot")
+        lin["bias"] = jnp.zeros((d_out,), jnp.float32)
+        convs.append(lin)
+        if layer_norm:
+            # NOTE: the reference creates every LayerNorm with
+            # hidden_channels (other_models.py:39,46,50); hidden == out in
+            # all use sites, which we assert rather than replicate blindly.
+            lns.append(nn.layer_norm_init(d_out))
+    p: Dict = {"convs": convs}
+    if layer_norm:
+        p["lns"] = lns
+    return p
+
+
+def gcn_apply(
+    params: Dict,
+    x: jnp.ndarray,
+    edge_src: jnp.ndarray,
+    edge_dst: jnp.ndarray,
+    edge_w: jnp.ndarray,
+    num_nodes: int,
+    *,
+    gnn_drop: float = 0.0,
+    residual: bool = False,
+    relu: bool = True,
+    rng: Optional[jax.Array] = None,
+    train: bool = False,
+) -> jnp.ndarray:
+    # Normalization depends only on the (possibly batch-masked) weights;
+    # compute once and share across layers (the reference's gcn_cache
+    # caches exactly this inside GCNConv, run.py:102-116).
+    w_norm, diag = spmm.gcn_norm_device(edge_src, edge_dst, edge_w, num_nodes)
+    lns = params.get("lns")
+    for i, conv in enumerate(params["convs"]):
+        xi = x @ conv["w"]
+        xi = spmm.spmm(edge_src, edge_dst, w_norm, xi, num_nodes, diag=diag)
+        xi = xi + conv["bias"]
+        if lns is not None:
+            xi = nn.layer_norm_apply(lns[i], xi)
+        if train and gnn_drop > 0 and rng is not None:
+            xi = nn.dropout(jax.random.fold_in(rng, i), xi, gnn_drop, train)
+        if relu:
+            xi = jax.nn.relu(xi)
+        if residual and x.shape[-1] == xi.shape[-1]:
+            x = x + xi
+        else:
+            x = xi
+    return x

@@ -1,0 +1,307 @@
+"""LPFormer-style adaptive graph transformer for link prediction, TPU-native.
+
+Functional re-implementation of the reference model
+(reference: src/models/link_transformer.py:16-481 and
+src/modules/layers.py:17-224) over static padded context tables:
+
+  h(a, b) = [ MLP(x_a ⊙ x_b)  ‖  pairwise(a, b) ]            (:82-107)
+  pairwise = MLP( attention over context nodes ‖ counts )    (:132-178)
+
+The per-link attention is GATv2-style over each link's context node set
+(CNs / 1-hop / >1-hop selected by PPR thresholds), with symmetrized PPR
+positional encodings per node class (:182-211). Here it runs as a *dense
+masked* attention over the fixed-shape [B, C] context tables — pure
+MXU/VPU work with no scatter in the hot loop.
+
+Parameters are plain nested dicts (pytrees); all applies are pure.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from lpformer_tpu.graph.containers import GraphBundle
+from lpformer_tpu.models.config import LPFormerConfig
+from lpformer_tpu.models.gcn import gcn_apply, gcn_init
+from lpformer_tpu.nn import core as nn
+from lpformer_tpu.ops.context import ContextTables, extract_context
+from lpformer_tpu.ops.segment import masked_softmax
+
+
+# --------------------------------------------------------------------------
+# init
+# --------------------------------------------------------------------------
+
+def _att_layer_init(
+    key: jax.Array, in_ch: int, out_ch: int, heads: int, node_dim: int
+) -> Dict:
+    """One LinkTransformerLayer: GATv2-style attention + post LayerNorm
+    (reference: src/modules/layers.py:88-157)."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    lin_l = nn.linear_init(k1, in_ch, heads * out_ch, kind="glorot")
+    lin_r = nn.linear_init(k2, node_dim * 2, heads * out_ch, kind="glorot")
+    bound = (6.0 / (heads + out_ch)) ** 0.5  # PyG glorot on att [1, H, C]
+    att = jax.random.uniform(
+        k3, (heads, out_ch), jnp.float32, minval=-bound, maxval=bound
+    )
+    return {
+        "lin_l": lin_l,
+        "lin_r": lin_r,
+        "att": att,
+        "bias": jnp.zeros((heads * out_ch,), jnp.float32),
+        "post_norm": nn.layer_norm_init(heads * out_ch),
+    }
+
+
+def init_lpformer(
+    key: jax.Array, cfg: LPFormerConfig, in_dim: int
+) -> Dict:
+    if cfg.trans_layers > 2:
+        # The reference's >2-layer stacking has inconsistent inner dims
+        # (link_transformer.py:56-62); every published config uses 1.
+        raise NotImplementedError("trans_layers > 2 is not supported")
+    if cfg.trans_layers == 2 and cfg.num_heads != 1:
+        raise NotImplementedError("trans_layers == 2 requires num_heads == 1")
+    keys = jax.random.split(key, 10)
+    d = cfg.dim
+    p: Dict = {}
+    p["node_encoder"] = gcn_init(
+        keys[0], in_dim, d, d, cfg.gnn_layers, cfg.layer_norm
+    )
+    p["gnn_norm"] = nn.layer_norm_init(d)
+    p["elementwise_lin"] = nn.mlp_init(keys[1], 2, d, d, d)
+    p["ppr_encoder_cn"] = nn.mlp_init(keys[2], 2, 2, d, d)
+    if cfg.mask_mode != "cn":
+        p["ppr_encoder_onehop"] = nn.mlp_init(keys[3], 2, 2, d, d)
+    if cfg.mask_mode == "all":
+        p["ppr_encoder_non1hop"] = nn.mlp_init(keys[4], 2, 2, d, d)
+
+    att_layers = []
+    inner = d * 2 if cfg.trans_layers > 1 else d
+    att_layers.append(_att_layer_init(keys[5], d, inner, cfg.num_heads, d))
+    if cfg.trans_layers == 2:
+        att_layers.append(_att_layer_init(keys[6], d, d, cfg.num_heads, d))
+    p["att_layers"] = att_layers
+
+    pairwise_dim = d * cfg.num_heads + cfg.count_dim
+    p["pairwise_lin"] = nn.mlp_init(keys[7], 2, pairwise_dim, pairwise_dim, d)
+
+    # score head: mlp_score(out_dim, out_dim, 1, pred_layers)
+    # (reference: src/train/train_model.py:97, other_models.py:142-179)
+    p["score"] = nn.mlp_init(
+        keys[8], cfg.pred_layers, cfg.out_dim, cfg.out_dim, 1, norm="none"
+    )
+    return p
+
+
+# --------------------------------------------------------------------------
+# apply
+# --------------------------------------------------------------------------
+
+def propagate(
+    params: Dict,
+    cfg: LPFormerConfig,
+    graph: GraphBundle,
+    *,
+    rng: Optional[jax.Array] = None,
+    train: bool = False,
+    edge_w: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """GNN node encoding + final LayerNorm -> X_node [N, dim]
+    (reference: link_transformer.py:110-129, node_encoder.py:35-44)."""
+    x = graph.x
+    if train and cfg.feat_drop > 0 and rng is not None:
+        x = nn.dropout(jax.random.fold_in(rng, 0), x, cfg.feat_drop, train)
+    w = graph.edge_w if edge_w is None else edge_w
+    x = gcn_apply(
+        params["node_encoder"],
+        x,
+        graph.edge_src,
+        graph.edge_dst,
+        w,
+        graph.num_nodes,
+        gnn_drop=cfg.gnn_drop,
+        residual=cfg.residual,
+        relu=cfg.relu,
+        rng=None if rng is None else jax.random.fold_in(rng, 1),
+        train=train,
+    )
+    return nn.layer_norm_apply(params["gnn_norm"], x)
+
+
+def _pos_encodings(
+    params: Dict, cfg: LPFormerConfig, ctx: ContextTables
+) -> jnp.ndarray:
+    """Symmetric PPR encodings pe = g(ppr_s, ppr_t) + g(ppr_t, ppr_s), one
+    MLP per node class applied to its static block of the context table
+    (reference: link_transformer.py:182-211)."""
+    def sym(mlp_p, ps, pt):
+        a = nn.mlp_apply(mlp_p, jnp.stack([ps, pt], axis=-1))
+        b = nn.mlp_apply(mlp_p, jnp.stack([pt, ps], axis=-1))
+        return a + b
+
+    c = cfg.context
+    blocks = []
+    ofs = 0
+    ps, pt = ctx.src_ppr, ctx.tgt_ppr
+    blocks.append(
+        sym(params["ppr_encoder_cn"],
+            ps[:, ofs:ofs + c.budget_cn], pt[:, ofs:ofs + c.budget_cn])
+    )
+    ofs += c.budget_cn
+    if cfg.mask_mode != "cn":
+        blocks.append(
+            sym(params["ppr_encoder_onehop"],
+                ps[:, ofs:ofs + c.budget_onehop],
+                pt[:, ofs:ofs + c.budget_onehop])
+        )
+        ofs += c.budget_onehop
+    if cfg.mask_mode == "all":
+        blocks.append(
+            sym(params["ppr_encoder_non1hop"],
+                ps[:, ofs:], pt[:, ofs:])
+        )
+    return jnp.concatenate(blocks, axis=1)
+
+
+def _att_layer_apply(
+    lp: Dict,
+    cfg: LPFormerConfig,
+    edge_x: jnp.ndarray,     # [B, 2*q]
+    keys_in: jnp.ndarray,    # [B, C, 2*dim] = [node feats ‖ pe]
+    valid: jnp.ndarray,      # [B, C]
+    *,
+    rng: Optional[jax.Array] = None,
+    train: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """GATv2-ish per-link attention (reference: layers.py:193-224):
+      score(v) = att · leaky_relu( W_r[x_v‖pe_v] ⊙ (W_l x_a + W_l x_b) )
+      out      = Σ_v softmax(score)_v · W_r[x_v‖pe_v]
+    followed by post-LayerNorm + dropout (layers.py:78-80)."""
+    h = cfg.num_heads
+    xj = nn.linear_apply(lp["lin_r"], keys_in)            # [B, C, H*O]
+    b_, c_, _ = xj.shape
+    o = xj.shape[-1] // h
+    xj = xj.reshape(b_, c_, h, o)
+
+    half = edge_x.shape[-1] // 2
+    e1 = nn.linear_apply(lp["lin_l"], edge_x[:, :half]).reshape(b_, 1, h, o)
+    e2 = nn.linear_apply(lp["lin_l"], edge_x[:, half:]).reshape(b_, 1, h, o)
+
+    z = jax.nn.leaky_relu(xj * (e1 + e2), negative_slope=0.2)
+    logits = jnp.sum(z * lp["att"][None, None], axis=-1)  # [B, C, H]
+    alpha = masked_softmax(logits, valid[:, :, None], axis=1)
+
+    out = jnp.sum(alpha[..., None] * xj, axis=1)          # [B, H, O]
+    out = out.reshape(b_, h * o) + lp["bias"]
+    out = nn.layer_norm_apply(lp["post_norm"], out)
+    if train and cfg.dropout > 0 and rng is not None:
+        out = nn.dropout(rng, out, cfg.dropout, train)
+    return out, alpha
+
+
+def calc_pairwise(
+    params: Dict,
+    cfg: LPFormerConfig,
+    X_node: jnp.ndarray,
+    src: jnp.ndarray,
+    tgt: jnp.ndarray,
+    ctx: ContextTables,
+    *,
+    rng: Optional[jax.Array] = None,
+    train: bool = False,
+    return_weights: bool = False,
+):
+    """Pairwise term over the extracted context tables
+    (reference: link_transformer.py:132-178)."""
+    pairwise_feats = jnp.concatenate([X_node[src], X_node[tgt]], axis=-1)
+
+    # pad row N = zeros so padded ids gather to zero features
+    X_ext = jnp.concatenate(
+        [X_node, jnp.zeros((1, X_node.shape[-1]), X_node.dtype)], axis=0
+    )
+    node_keys = X_ext[ctx.ids]                            # [B, C, dim]
+    pes = _pos_encodings(params, cfg, ctx)                # [B, C, dim]
+    keys_in = jnp.concatenate([node_keys, pes], axis=-1)  # [B, C, 2*dim]
+
+    att_weights = None
+    for i, lp in enumerate(params["att_layers"]):
+        r = None if rng is None else jax.random.fold_in(rng, 10 + i)
+        pairwise_feats, att_weights = _att_layer_apply(
+            lp, cfg, pairwise_feats, keys_in, ctx.valid, rng=r, train=train
+        )
+
+    counts = ctx.counts  # [B, 4]: cns, 1hop, non1hop, neighbors
+    if cfg.mask_mode == "cn":
+        cnt = counts[:, 0:1]
+    elif cfg.mask_mode == "1-hop":
+        cnt = jnp.concatenate(
+            [counts[:, 0:1], counts[:, 1:2], counts[:, 3:4]], axis=-1
+        )
+    else:
+        cnt = counts  # (cns, 1hop, non1hop, neighbors), reference :172-173
+    pairwise_feats = jnp.concatenate([pairwise_feats, cnt], axis=-1)
+    pairwise_feats = nn.mlp_apply(params["pairwise_lin"], pairwise_feats)
+    if return_weights:
+        return pairwise_feats, att_weights
+    return pairwise_feats, None
+
+
+def forward(
+    params: Dict,
+    cfg: LPFormerConfig,
+    graph: GraphBundle,
+    src: jnp.ndarray,
+    tgt: jnp.ndarray,
+    *,
+    rng: Optional[jax.Array] = None,
+    train: bool = False,
+    mask_ranks: Optional[jnp.ndarray] = None,
+    prop_edge_w: Optional[jnp.ndarray] = None,
+    X_node: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Full edge representation h(a,b) [B, 2*dim]
+    (reference: link_transformer.py:82-107). Pass ``X_node`` to reuse a
+    propagated encoding (the propagate-once eval paths,
+    reference: testing.py:50-74,96-121)."""
+    if X_node is None:
+        X_node = propagate(
+            params, cfg, graph, rng=rng, train=train, edge_w=prop_edge_w
+        )
+    elementwise = nn.mlp_apply(
+        params["elementwise_lin"], X_node[src] * X_node[tgt]
+    )
+    ctx = extract_context(
+        graph.adj_rows,
+        graph.ppr_rows,
+        src,
+        tgt,
+        cfg.context,
+        mask_ranks=mask_ranks,
+        drop_rng=None if rng is None else jax.random.fold_in(rng, 2),
+        train=train,
+    )
+    pairwise, _ = calc_pairwise(
+        params, cfg, X_node, src, tgt, ctx,
+        rng=None if rng is None else jax.random.fold_in(rng, 3),
+        train=train,
+    )
+    return jnp.concatenate([elementwise, pairwise], axis=-1)
+
+
+def score_links(
+    params: Dict,
+    cfg: LPFormerConfig,
+    h: jnp.ndarray,
+    *,
+    rng: Optional[jax.Array] = None,
+    train: bool = False,
+) -> jnp.ndarray:
+    """sigmoid(mlp_score(h)) -> [B] link probabilities
+    (reference: other_models.py:173-179)."""
+    return nn.mlp_apply(
+        params["score"], h, drop=cfg.pred_drop, rng=rng, train=train,
+        sigmoid=True,
+    )

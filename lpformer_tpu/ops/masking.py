@@ -1,0 +1,138 @@
+"""Per-batch positive-edge masking, as a static-shape int32 device op.
+
+The reference rebuilds a sparse adjacency from scratch every batch after
+dropping the batch's positive edges (reference:
+src/train/train_model.py:38-45) — a dynamic-shape sparse rebuild. Here the
+adjacency is static, and masking happens in *edge-rank space*:
+
+  * Host precompute: every undirected train edge gets a rank — its index
+    in the sorted unique canonical-key list (canonical key of (u, v) =
+    min*N+max, int64 on host only). Every padded-adjacency entry and every
+    propagation edge carries its rank as an int32 side array. TPUs have no
+    fast int64, so device code never sees a 64-bit key.
+  * Device per batch: each batch edge's rank is recovered by looking up
+    tgt in the padded row of src (adjacency == symmetrized train
+    positives, so the entry exists). The sorted rank array + sentinel is
+    the batch mask; membership tests are int32 binary searches.
+
+Exact multiplicity semantics are preserved: ogbl-collab's train set has
+duplicate (u, v) pairs (one per collaboration year), and the reference's
+rebuild only removes an undirected edge from the adjacency support when
+*every* duplicate instance lands in the current batch. We precompute each
+edge's multiplicity and mask a rank only when its batch count reaches it.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from lpformer_tpu.graph.containers import CSRGraph, PaddedRows
+from lpformer_tpu.ops.search import row_lookup
+
+_SENTINEL = np.int32(2**31 - 1)
+_NOT_FOUND = jnp.int32(-2)   # distinct from the -1 "no rank" padding
+
+
+def train_edge_info(
+    train_src: np.ndarray, train_dst: np.ndarray, num_nodes: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host: sorted unique canonical keys (int64) of train positives and
+    their multiplicities (int32)."""
+    lo = np.minimum(train_src, train_dst).astype(np.int64)
+    hi = np.maximum(train_src, train_dst).astype(np.int64)
+    keys = lo * num_nodes + hi
+    uniq, counts = np.unique(keys, return_counts=True)
+    return uniq.astype(np.int64), counts.astype(np.int32)
+
+
+def edge_ranks_for_entries(
+    src: np.ndarray,
+    dst: np.ndarray,
+    uniq_keys: np.ndarray,
+    num_nodes: int,
+) -> np.ndarray:
+    """Host: int32 rank per (src, dst) entry; -1 where not a train edge."""
+    lo = np.minimum(src, dst).astype(np.int64)
+    hi = np.maximum(src, dst).astype(np.int64)
+    keys = lo * num_nodes + hi
+    pos = np.searchsorted(uniq_keys, keys)
+    pos_c = np.clip(pos, 0, max(len(uniq_keys) - 1, 0))
+    found = (
+        uniq_keys[pos_c] == keys if len(uniq_keys) else np.zeros_like(keys, bool)
+    )
+    return np.where(found, pos_c, -1).astype(np.int32)
+
+
+def edge_ranks_for_csr(
+    csr: CSRGraph, uniq_keys: np.ndarray
+) -> np.ndarray:
+    """Host: ranks aligned with the CSR's entry order."""
+    src, dst, _ = csr.to_coo()
+    return edge_ranks_for_entries(src, dst, uniq_keys, csr.num_nodes)
+
+
+def batch_mask_ranks(
+    adj_rows: PaddedRows,
+    src: jnp.ndarray,
+    tgt: jnp.ndarray,
+    multiplicities: jnp.ndarray,
+) -> jnp.ndarray:
+    """Device: sorted [B] int32 array of masked edge ranks for this batch
+    (unmasked slots hold the int32-max sentinel).
+
+    A rank is masked iff the batch contains at least as many instances of
+    the edge as its train multiplicity (see module docstring).
+    """
+    assert adj_rows.ranks is not None, "adjacency rows need rank side-array"
+    rows = adj_rows.nbrs[src]                      # [B, A]
+    rranks = adj_rows.ranks[src]                   # [B, A]
+    q = tgt[:, None].astype(rows.dtype)
+    found, rank = row_lookup(rows, rranks, q, _NOT_FOUND)
+    rank = rank[:, 0]
+
+    sorted_ranks = jnp.sort(rank)
+    left = jnp.searchsorted(sorted_ranks, rank, side="left")
+    right = jnp.searchsorted(sorted_ranks, rank, side="right")
+    batch_count = (right - left).astype(jnp.int32)
+
+    rank_c = jnp.clip(rank, 0, multiplicities.shape[0] - 1)
+    mult = jnp.where(
+        rank >= 0, multiplicities[rank_c], jnp.int32(2**30)
+    )
+    masked = batch_count >= mult
+    out = jnp.where(masked, rank, jnp.int32(_SENTINEL))
+    return jnp.sort(out)
+
+
+def rank_is_masked(
+    mask_ranks_sorted: jnp.ndarray, entry_ranks: jnp.ndarray
+) -> jnp.ndarray:
+    """Membership of entry ranks (int32, -1 = not a train edge) in the
+    sorted masked-rank set. Shape-preserving."""
+    q = entry_ranks.reshape(-1)
+    pos = jnp.clip(
+        jnp.searchsorted(mask_ranks_sorted, q, side="left"),
+        0,
+        mask_ranks_sorted.shape[0] - 1,
+    )
+    hit = (mask_ranks_sorted[pos] == q) & (q >= 0)
+    return hit.reshape(entry_ranks.shape)
+
+
+def mask_edge_weights(
+    mask_ranks_sorted: jnp.ndarray,
+    edge_ranks: jnp.ndarray,
+    edge_w: jnp.ndarray,
+) -> jnp.ndarray:
+    """Zero out weights of masked propagation edges — the ``--mask-input``
+    variant (reference: src/train/train_model.py:47-57; note the reference
+    builds that adjacency *unweighted*, so pass binarized weights)."""
+    hit = rank_is_masked(mask_ranks_sorted, edge_ranks)
+    return jnp.where(hit, 0.0, edge_w)
+
+
+def empty_mask_ranks() -> jnp.ndarray:
+    """A mask that masks nothing (eval paths)."""
+    return jnp.full((1,), _SENTINEL, dtype=jnp.int32)

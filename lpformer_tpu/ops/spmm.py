@@ -1,0 +1,83 @@
+"""Sparse matrix-dense matrix products (SpMM) for GCN propagation.
+
+TPU-native replacement for torch_sparse's CSR SpMM used inside PyG's
+``GCNConv`` (reference: src/models/other_models.py:35-48,66). The graph is
+a static COO edge list sorted by destination; aggregation is a gather +
+``segment_sum`` which XLA lowers to a sorted scatter-add. Self loops are
+never materialized: the diagonal of the normalized adjacency is applied as
+an elementwise term, which both saves N edges and keeps the MXU matmuls
+(feature transforms) dense.
+
+GCN normalization D^{-1/2} (A + I) D^{-1/2} can be precomputed on host
+(:func:`lpformer_tpu.graph.preprocess.gcn_norm_edges`) for static
+adjacencies, or recomputed in-jit (:func:`gcn_norm_device`) when the
+adjacency is masked per batch (``--mask-input``,
+reference: src/train/train_model.py:47-57).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def gcn_norm_device(
+    edge_src: jnp.ndarray,
+    edge_dst: jnp.ndarray,
+    edge_w: jnp.ndarray,
+    num_nodes: int,
+    fill_value: float = 1.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """In-jit GCN normalization.
+
+    Returns (w_norm [E], diag [N]) where ``diag`` is the normalized
+    self-loop coefficient fill / (deg + fill) applied elementwise.
+    Matches PyG gcn_norm: deg = rowsum(A) + fill.
+    """
+    deg = jax.ops.segment_sum(
+        edge_w, edge_dst, num_segments=num_nodes, indices_are_sorted=True
+    )
+    deg = deg + fill_value
+    dinv = jnp.where(deg > 0, jax.lax.rsqrt(deg), 0.0)
+    w_norm = dinv[edge_src] * edge_w * dinv[edge_dst]
+    diag = dinv * fill_value * dinv
+    return w_norm, diag
+
+
+def spmm(
+    edge_src: jnp.ndarray,
+    edge_dst: jnp.ndarray,
+    edge_w: jnp.ndarray,
+    x: jnp.ndarray,
+    num_nodes: int,
+    diag: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """out[v] = sum_{(u,v) in E} w_uv * x[u]  (+ diag[v] * x[v]).
+
+    ``edge_dst`` must be sorted ascending (preprocessing guarantees it),
+    letting XLA use the fast sorted-scatter path.
+    """
+    gathered = x[edge_src] * edge_w[:, None]
+    out = jax.ops.segment_sum(
+        gathered, edge_dst, num_segments=num_nodes, indices_are_sorted=True
+    )
+    if diag is not None:
+        out = out + diag[:, None] * x
+    return out
+
+
+def gcn_propagate(
+    edge_src: jnp.ndarray,
+    edge_dst: jnp.ndarray,
+    edge_w: jnp.ndarray,
+    x: jnp.ndarray,
+    num_nodes: int,
+    precomputed_norm: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+) -> jnp.ndarray:
+    """One GCN aggregation A_hat @ x with normalization."""
+    if precomputed_norm is not None:
+        w_norm, diag = precomputed_norm
+    else:
+        w_norm, diag = gcn_norm_device(edge_src, edge_dst, edge_w, num_nodes)
+    return spmm(edge_src, edge_dst, w_norm, x, num_nodes, diag=diag)
