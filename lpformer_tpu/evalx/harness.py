@@ -1,0 +1,160 @@
+"""Evaluation harnesses mirroring the reference test flows.
+
+(reference: src/train/testing.py)
+  * ``test_standard``  — test()/test_edge: batched scoring of
+    train_pos_val / valid / test positives + negatives (:124-173), with
+    the HeaRT per-sample-negative mode (:96-121).
+  * ``test_citation2`` — propagate-once, 1000 negatives per positive
+    (:14-74), including its quirk of reporting valid preds as train preds
+    (:70), reproduced deliberately.
+
+TPU-native differences: node encodings are propagated ONCE per adjacency
+variant and reused for every batch (the reference re-runs the full-graph
+GCN per eval batch in test_edge; its citation2/HeaRT paths already do the
+propagate-once optimization — here it is universal since eval is
+deterministic), and all batches are fixed-shape (last batch padded) so a
+single jitted program serves the whole sweep.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lpformer_tpu.data.dataset import LinkPredDataset
+from lpformer_tpu.evalx import metrics
+from lpformer_tpu.models import config as _cfg_mod
+from lpformer_tpu.models import link_transformer as lt
+
+
+def _score_fn(cfg):
+    @jax.jit
+    def fn(params, graph, X_node, src, tgt):
+        h = lt.forward(
+            params, cfg, graph, src, tgt, train=False, X_node=X_node
+        )
+        return lt.score_links(params, cfg, h, train=False)
+
+    return fn
+
+
+def score_edges(
+    score_fn,
+    params,
+    graph,
+    X_node,
+    edges: np.ndarray,
+    batch_size: int,
+) -> np.ndarray:
+    """Score [M, 2] edges in fixed-shape batches (last batch padded)."""
+    m = len(edges)
+    if m == 0:
+        return np.zeros((0,), np.float32)
+    out = np.empty((m,), np.float32)
+    for lo in range(0, m, batch_size):
+        hi = min(lo + batch_size, m)
+        chunk = edges[lo:hi]
+        if hi - lo < batch_size:  # pad to the jitted shape
+            pad = np.zeros((batch_size - (hi - lo), 2), chunk.dtype)
+            chunk = np.concatenate([chunk, pad], axis=0)
+        s = score_fn(
+            params, graph, X_node,
+            jnp.asarray(chunk[:, 0]), jnp.asarray(chunk[:, 1]),
+        )
+        out[lo:hi] = np.asarray(s)[: hi - lo]
+    return out
+
+
+def test_standard(
+    params,
+    cfg: "_cfg_mod.LPFormerConfig",
+    ds: LinkPredDataset,
+    batch_size: int = 32768,
+    k_list: Sequence[int] = (20, 50, 100),
+    heart: bool = False,
+    with_mrr: Optional[bool] = None,
+) -> Dict[str, tuple]:
+    """reference test() (testing.py:124-173)."""
+    score_fn = _score_fn(cfg)
+    X_train = lt.propagate(params, cfg, ds.graph, train=False)
+    X_test = (
+        X_train
+        if ds.graph_test is ds.graph
+        else lt.propagate(params, cfg, ds.graph_test, train=False)
+    )
+
+    def sc(edges, test_set=False):
+        g = ds.graph_test if test_set else ds.graph
+        X = X_test if test_set else X_train
+        return score_edges(score_fn, params, g, X, np.asarray(edges), batch_size)
+
+    pos_train = sc(ds.train_pos_val)
+    pos_valid = sc(ds.valid_pos)
+    pos_test = sc(ds.test_pos, test_set=True)
+
+    if heart:
+        # per-positive negatives [P, K, 2] (reference testing.py:96-121)
+        def heart_neg(neg, test_set):
+            p, k, _ = neg.shape
+            flat = neg.reshape(p * k, 2)
+            return sc(flat, test_set=test_set).reshape(p, k)
+
+        neg_valid = heart_neg(np.asarray(ds.valid_neg), False)
+        neg_test = heart_neg(np.asarray(ds.test_neg), True)
+        return metrics.get_metric_score_citation2(
+            jnp.asarray(pos_train), jnp.asarray(pos_valid),
+            jnp.asarray(neg_valid), jnp.asarray(pos_test),
+            jnp.asarray(neg_test),
+        )
+
+    neg_valid = sc(ds.valid_neg)
+    neg_test = sc(ds.test_neg, test_set=True)
+    if with_mrr is None:
+        with_mrr = ds.metric == "MRR"
+    return metrics.get_metric_score(
+        jnp.asarray(pos_train), jnp.asarray(pos_valid),
+        jnp.asarray(neg_valid), jnp.asarray(pos_test),
+        jnp.asarray(neg_test), k_list=k_list, with_mrr=with_mrr,
+    )
+
+
+def test_citation2(
+    params,
+    cfg: "_cfg_mod.LPFormerConfig",
+    ds: LinkPredDataset,
+    batch_size: int = 32768,
+) -> Dict[str, tuple]:
+    """reference test_citation2 (testing.py:50-74): negatives are
+    [P, K] target-node ids scored against the repeated source."""
+    score_fn = _score_fn(cfg)
+    X = lt.propagate(params, cfg, ds.graph, train=False)
+    X_test = (
+        X
+        if ds.graph_test is ds.graph
+        else lt.propagate(params, cfg, ds.graph_test, train=False)
+    )
+
+    def sc(edges, test_set=False):
+        g = ds.graph_test if test_set else ds.graph
+        Xn = X_test if test_set else X
+        return score_edges(score_fn, params, g, Xn, np.asarray(edges), batch_size)
+
+    def neg_scores(pos, neg_targets, test_set):
+        p, k = neg_targets.shape
+        src_rep = np.repeat(np.asarray(pos)[:, 0], k)
+        edges = np.stack([src_rep, neg_targets.reshape(-1)], axis=1)
+        return sc(edges, test_set=test_set).reshape(p, k)
+
+    neg_valid = neg_scores(ds.valid_pos, np.asarray(ds.valid_neg), False)
+    pos_valid = sc(ds.valid_pos)
+    pos_test = sc(ds.test_pos, test_set=True)
+    neg_test = neg_scores(ds.test_pos, np.asarray(ds.test_neg), True)
+    # reference quirk (testing.py:70): train preds are overwritten with
+    # the valid preds; reproduced for metric parity.
+    pos_train = pos_valid
+    return metrics.get_metric_score_citation2(
+        jnp.asarray(pos_train), jnp.asarray(pos_valid),
+        jnp.asarray(neg_valid), jnp.asarray(pos_test), jnp.asarray(neg_test),
+    )

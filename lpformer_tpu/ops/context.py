@@ -133,7 +133,9 @@ def _compact(
     ids, cls_val, ps, pt, valid, budget: int, num_nodes: int
 ):
     """Keep up to ``budget`` valid entries per row (highest min-PPR first
-    on overflow). Returns compacted (ids, cls, ps, pt, valid, n_dropped)."""
+    on overflow). Returns compacted (ids, cls, ps, pt, valid, n_dropped).
+    The output always has exactly ``budget`` columns (zero-padded when the
+    candidate table is narrower) so class blocks stay statically aligned."""
     b = ids.shape[0]
     score = jnp.where(valid, 1.0 + jnp.minimum(ps, pt), 0.0)
     order = jnp.argsort(-score, axis=1, stable=True)[:, :budget]
@@ -141,9 +143,22 @@ def _compact(
     v2 = take(valid)
     ids2 = jnp.where(v2, take(ids), num_nodes)
     cls2 = jnp.where(v2, cls_val if jnp.ndim(cls_val) == 0 else take(cls_val), 0)
+    ps2, pt2 = take(ps), take(pt)
+    width = ids2.shape[1]
+    if width < budget:
+        pad = budget - width
+
+        def padto(a, fill):
+            return jnp.pad(a, ((0, 0), (0, pad)), constant_values=fill)
+
+        ids2 = padto(ids2, num_nodes)
+        cls2 = padto(cls2, 0)
+        ps2 = padto(ps2, 0.0)
+        pt2 = padto(pt2, 0.0)
+        v2 = padto(v2, False)
     n_valid = jnp.sum(valid.astype(jnp.int32), axis=1)
     dropped = jnp.maximum(n_valid - budget, 0)
-    return ids2, cls2.astype(jnp.int32), take(ps), take(pt), v2, dropped
+    return ids2, cls2.astype(jnp.int32), ps2, pt2, v2, dropped
 
 
 def extract_context(

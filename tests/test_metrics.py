@@ -1,0 +1,73 @@
+"""Metric parity: Hits@K / MRR vs naive numpy (OGB Evaluator semantics)."""
+import jax.numpy as jnp
+import numpy as np
+
+from lpformer_tpu.evalx import metrics
+
+
+def test_hits_at_k_semantics():
+    rng = np.random.default_rng(0)
+    pos = rng.random(200).astype(np.float32)
+    neg = rng.random(500).astype(np.float32)
+    for k in (1, 10, 50, 100):
+        kth = np.sort(neg)[-k]
+        want = float((pos > kth).mean())
+        got = metrics.evaluate_hits(jnp.asarray(pos), jnp.asarray(neg), [k])[
+            f"Hits@{k}"
+        ]
+        assert abs(got - want) < 1e-6
+
+
+def test_hits_fewer_negs_than_k():
+    pos = jnp.asarray([0.5, 0.1])
+    neg = jnp.asarray([0.3, 0.4])
+    assert metrics.evaluate_hits(pos, neg, [100])["Hits@100"] == 1.0
+
+
+def test_mrr_tie_semantics():
+    """rank = 0.5*(optimistic + pessimistic) + 1 (reference
+    evaluation.py:33-37): ties contribute half a rank."""
+    pos = jnp.asarray([0.5])
+    neg = jnp.asarray([[0.5, 0.4, 0.6]])
+    # optimistic: #(neg >= pos)=2; pessimistic: #(neg > pos)=1 -> rank 2.5
+    r = metrics.evaluate_mrr(pos, neg)
+    assert abs(r["MRR"] - 1 / 2.5) < 1e-6
+
+
+def test_mrr_matches_numpy():
+    rng = np.random.default_rng(1)
+    pos = rng.random(64).astype(np.float32)
+    neg = rng.random((64, 100)).astype(np.float32)
+    opt = (neg >= pos[:, None]).sum(1)
+    pes = (neg > pos[:, None]).sum(1)
+    want = float((1.0 / (0.5 * (opt + pes) + 1)).mean())
+    got = metrics.evaluate_mrr(jnp.asarray(pos), jnp.asarray(neg))["MRR"]
+    assert abs(got - want) < 1e-6
+
+
+def test_shared_negative_mrr_broadcast():
+    """reference evaluation.py:122-124 repeats the shared negative row."""
+    rng = np.random.default_rng(2)
+    pos = rng.random(16).astype(np.float32)
+    neg = rng.random(37).astype(np.float32)
+    res = metrics.get_metric_score(
+        jnp.asarray(pos), jnp.asarray(pos), jnp.asarray(neg),
+        jnp.asarray(pos), jnp.asarray(neg),
+        k_list=[10], with_mrr=True,
+    )
+    neg2 = np.broadcast_to(neg, (16, 37))
+    opt = (neg2 >= pos[:, None]).sum(1)
+    pes = (neg2 > pos[:, None]).sum(1)
+    want = float((1.0 / (0.5 * (opt + pes) + 1)).mean())
+    assert abs(res["MRR"][1] - want) < 1e-6
+
+
+def test_auc_matches_sklearn():
+    from sklearn.metrics import average_precision_score, roc_auc_score
+
+    rng = np.random.default_rng(3)
+    pred = rng.random(300)
+    true = (rng.random(300) > 0.6).astype(np.float64)
+    got = metrics.evaluate_auc(pred, true)
+    assert abs(got["AUC"] - round(float(roc_auc_score(true, pred)), 4)) < 1e-9
+    assert abs(got["AP"] - round(float(average_precision_score(true, pred)), 4)) < 2e-4
