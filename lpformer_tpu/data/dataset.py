@@ -62,11 +62,21 @@ def build_graph_bundle(
     )
     ppr_rows = PaddedRows.from_csr(ppr_csr, cap=ppr_cap, with_vals=True)
     deg = pp.out_degrees(np.asarray(edge_src, np.int64), num_nodes)
+    prop_ranks = (
+        masking.edge_ranks_for_entries(ps_, pd_, mask_uniq_keys, num_nodes)
+        if mask_uniq_keys is not None
+        else None
+    )
     return GraphBundle(
         x=jnp.asarray(x, jnp.float32),
         edge_src=jnp.asarray(ps_, jnp.int32),
         edge_dst=jnp.asarray(pd_, jnp.int32),
         edge_w=jnp.asarray(pw_, jnp.float32),
+        edge_rank=(
+            jnp.asarray(prop_ranks, jnp.int32)
+            if prop_ranks is not None
+            else None
+        ),
         adj_rows=adj_rows,
         ppr_rows=ppr_rows,
         degree=jnp.asarray(deg, jnp.float32),

@@ -29,13 +29,29 @@ from lpformer_tpu.models import config as _cfg_mod
 from lpformer_tpu.models import link_transformer as lt
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=16)
 def _score_fn(cfg):
+    """One compiled scorer per config (cfg is a frozen dataclass; caching
+    here keeps jax's compile cache hot across eval sweeps)."""
+
     @jax.jit
     def fn(params, graph, X_node, src, tgt):
         h = lt.forward(
             params, cfg, graph, src, tgt, train=False, X_node=X_node
         )
         return lt.score_links(params, cfg, h, train=False)
+
+    return fn
+
+
+@functools.lru_cache(maxsize=16)
+def _propagate_fn(cfg):
+    @jax.jit
+    def fn(params, graph):
+        return lt.propagate(params, cfg, graph, train=False)
 
     return fn
 
@@ -78,11 +94,12 @@ def test_standard(
 ) -> Dict[str, tuple]:
     """reference test() (testing.py:124-173)."""
     score_fn = _score_fn(cfg)
-    X_train = lt.propagate(params, cfg, ds.graph, train=False)
+    prop = _propagate_fn(cfg)
+    X_train = prop(params, ds.graph)
     X_test = (
         X_train
         if ds.graph_test is ds.graph
-        else lt.propagate(params, cfg, ds.graph_test, train=False)
+        else prop(params, ds.graph_test)
     )
 
     def sc(edges, test_set=False):
@@ -129,11 +146,12 @@ def test_citation2(
     """reference test_citation2 (testing.py:50-74): negatives are
     [P, K] target-node ids scored against the repeated source."""
     score_fn = _score_fn(cfg)
-    X = lt.propagate(params, cfg, ds.graph, train=False)
+    prop = _propagate_fn(cfg)
+    X = prop(params, ds.graph)
     X_test = (
         X
         if ds.graph_test is ds.graph
-        else lt.propagate(params, cfg, ds.graph_test, train=False)
+        else prop(params, ds.graph_test)
     )
 
     def sc(edges, test_set=False):

@@ -157,6 +157,7 @@ class PaddedRows:
         "edge_src",
         "edge_dst",
         "edge_w",
+        "edge_rank",
         "adj_rows",
         "ppr_rows",
         "degree",
@@ -179,6 +180,7 @@ class GraphBundle:
     edge_src: jnp.ndarray   # [E] int32, COO sorted by (dst, src)
     edge_dst: jnp.ndarray   # [E] int32
     edge_w: jnp.ndarray     # [E] float32 (raw weights; GCN-norm applied in op)
+    edge_rank: Optional[jnp.ndarray]  # [E] int32 train-edge ranks (mask_input)
     adj_rows: PaddedRows    # binarized, symmetric adjacency
     ppr_rows: PaddedRows    # personalized-PageRank rows (values = ppr scores)
     degree: jnp.ndarray     # [N] float32 out-degrees of raw edge_index

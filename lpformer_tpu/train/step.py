@@ -1,0 +1,137 @@
+"""Jitted training step.
+
+One fused program per optimization step, mirroring the reference batch
+loop body (reference: src/train/train_model.py:23-77):
+
+  1. mask the batch's positive edges out of the context adjacency
+     (rank-space, ops/masking.py) and optionally out of the propagation
+     adjacency (``--mask-input``);
+  2. positive forward (masked), uniform-random negatives ``randint``
+     (reference :64) and negative forward (unmasked — the reference
+     passes no masks for negatives);
+  3. loss = -mean log(pos + 1e-6) - mean log(1 - neg + 1e-6)  (:61,68);
+  4. grads -> partitioned clip -> Adam -> params.
+
+The reference runs two *full* forwards (two full-graph GCN propagations)
+per step with independent dropout draws; ``double_propagate=True``
+mirrors that exactly. ``double_propagate=False`` shares one propagation
+between pos/neg halves — it changes only dropout correlation and is the
+fast path (valid whenever mask_input is off).
+
+Partial final batches are handled with a per-edge weight mask (the
+reference's DataLoader emits a ragged last batch; here shapes stay
+static and padded entries get zero loss weight).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from lpformer_tpu.models import link_transformer as lt
+from lpformer_tpu.models.config import LPFormerConfig
+from lpformer_tpu.ops import masking
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    step: jnp.ndarray
+
+
+def loss_fn(
+    params,
+    cfg: LPFormerConfig,
+    graph,
+    pos_src,
+    pos_tgt,
+    neg_src,
+    neg_tgt,
+    pos_weight,
+    mask_ranks,
+    prop_edge_w,
+    rng,
+    double_propagate: bool = True,
+):
+    rng_pos, rng_neg = jax.random.split(rng)
+    if double_propagate:
+        X_pos = X_neg = None
+    else:
+        assert prop_edge_w is None, (
+            "mask_input requires double_propagate (pos/neg see different "
+            "propagation adjacencies)"
+        )
+        X_pos = X_neg = lt.propagate(
+            params, cfg, graph, rng=rng_pos, train=True
+        )
+    h_pos = lt.forward(
+        params, cfg, graph, pos_src, pos_tgt,
+        rng=rng_pos, train=True, mask_ranks=mask_ranks,
+        prop_edge_w=prop_edge_w, X_node=X_pos,
+    )
+    pos_out = lt.score_links(
+        params, cfg, h_pos, rng=jax.random.fold_in(rng_pos, 99), train=True
+    )
+    h_neg = lt.forward(
+        params, cfg, graph, neg_src, neg_tgt,
+        rng=rng_neg, train=True, mask_ranks=None, prop_edge_w=None,
+        X_node=X_neg,
+    )
+    neg_out = lt.score_links(
+        params, cfg, h_neg, rng=jax.random.fold_in(rng_neg, 99), train=True
+    )
+
+    w = pos_weight
+    wsum = jnp.maximum(jnp.sum(w), 1.0)
+    pos_loss = -jnp.sum(jnp.log(pos_out + 1e-6) * w) / wsum
+    # negatives replicate pos edges num_negative times; weight alike
+    nw = jnp.repeat(w, neg_out.shape[0] // w.shape[0])
+    nwsum = jnp.maximum(jnp.sum(nw), 1.0)
+    neg_loss = -jnp.sum(jnp.log(1.0 - neg_out + 1e-6) * nw) / nwsum
+    return pos_loss + neg_loss
+
+
+def make_train_step(
+    cfg: LPFormerConfig,
+    optimizer: optax.GradientTransformation,
+    num_negative: int = 1,
+    mask_input: bool = False,
+    double_propagate: bool = True,
+    donate: bool = True,
+):
+    """Build the jitted step:
+    (state, graph, mult, bin_edge_w, batch_src, batch_tgt, weight, rng)
+      -> (state, loss)
+    """
+
+    def step(state: TrainState, graph, mult, bin_edge_w, src, tgt, w, rng):
+        rng_neg, rng_loss = jax.random.split(jax.random.fold_in(rng, state.step))
+        b = src.shape[0]
+        neg = jax.random.randint(
+            rng_neg, (2, b * num_negative), 0, graph.num_nodes,
+            dtype=src.dtype,
+        )  # reference train_model.py:64
+        mask_ranks = masking.batch_mask_ranks(graph.adj_rows, src, tgt, mult)
+        if mask_input:
+            # reference builds the masked propagation adjacency UNWEIGHTED
+            # (train_model.py:51-53); bin_edge_w is the binarized weights
+            prop_w = masking.mask_edge_weights(
+                mask_ranks, graph.edge_rank, bin_edge_w
+            )
+        else:
+            prop_w = None
+
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, cfg, graph, src, tgt, neg[0], neg[1], w,
+            mask_ranks, prop_w, rng_loss, double_propagate,
+        )
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())

@@ -1,0 +1,203 @@
+"""Training driver: epochs, eval schedule, early stopping, multi-seed runs.
+
+Mirrors the reference training layer (reference:
+src/train/train_model.py:23-182): per-epoch shuffled fixed-size batches,
+eval every ``eval_steps`` with test-at-best-valid checkpointing, early
+stop via ``kill_cnt``, and a multi-seed outer loop reporting mean +- std.
+
+TPU-native differences: the whole optimization step (masking, negative
+sampling, two forwards, loss, clipped Adam update) is ONE jitted program;
+the ragged last batch is padded with zero-weight entries instead of
+recompiling; checkpoints carry optimizer state + PRNG for true resume.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lpformer_tpu.data.dataset import LinkPredDataset
+from lpformer_tpu.evalx import harness
+from lpformer_tpu.models import config as cfg_mod
+from lpformer_tpu.models import link_transformer as lt
+from lpformer_tpu.train import optim, step as step_mod
+from lpformer_tpu.utils import checkpoint as ckpt
+from lpformer_tpu.utils.logger import ResultsLogger
+
+
+@dataclasses.dataclass
+class TrainArgs:
+    """Training-relevant CLI flags (reference run.py:151-202 defaults)."""
+
+    epochs: int = 150
+    lr: float = 1e-3
+    decay: float = 1.0
+    l2: float = 0.0
+    batch_size: int = 1024
+    test_batch_size: int = 32768
+    num_negative: int = 1
+    eval_steps: int = 5
+    kill_cnt: int = 100
+    runs: int = 1
+    seed: int = 42
+    metric: str = "MRR"
+    heart: bool = False
+    mask_input: bool = False
+    save_as: Optional[str] = None
+    checkpoint_dir: str = "checkpoints"
+    verbose: bool = True
+    data_name: str = "dataset"
+    double_propagate: bool = True
+
+
+def _iter_batches(rng: np.random.Generator, n: int, batch_size: int):
+    """Shuffled fixed-size batches; last batch padded (weight 0)."""
+    perm = rng.permutation(n)
+    for lo in range(0, n, batch_size):
+        hi = min(lo + batch_size, n)
+        idx = perm[lo:hi]
+        w = np.ones(batch_size, np.float32)
+        if hi - lo < batch_size:
+            pad = np.zeros(batch_size - (hi - lo), dtype=idx.dtype)
+            idx = np.concatenate([idx, pad])
+            w[hi - lo:] = 0.0
+        yield idx, w
+
+
+def run_eval(
+    params, cfg: cfg_mod.LPFormerConfig, ds: LinkPredDataset, args: TrainArgs
+) -> Dict[str, tuple]:
+    """Dispatch to the right harness (reference train_model.py:114-117)."""
+    if "citation" in ds.name.lower() and not ds.heart:
+        return harness.test_citation2(
+            params, cfg, ds, batch_size=args.test_batch_size
+        )
+    return harness.test_standard(
+        params, cfg, ds,
+        batch_size=args.test_batch_size,
+        k_list=(20, 50, 100),
+        heart=ds.heart,
+    )
+
+
+def train_loop(
+    args: TrainArgs,
+    cfg: cfg_mod.LPFormerConfig,
+    ds: LinkPredDataset,
+    loggers: Dict[str, ResultsLogger],
+    seed: int,
+    model_save_name: Optional[str] = None,
+) -> float:
+    """One seed's training (reference train_model.py:87-140)."""
+    key = jax.random.PRNGKey(seed)
+    params = lt.init_lpformer(key, cfg, in_dim=int(ds.graph.x.shape[1]))
+    steps_per_epoch = max(
+        1, (len(ds.train_pos) + args.batch_size - 1) // args.batch_size
+    )
+    optimizer = optim.make_optimizer(
+        args.lr, args.l2, args.decay, steps_per_epoch, clip_norm=1.0
+    )
+    state = step_mod.TrainState(
+        params=params,
+        opt_state=optimizer.init(params),
+        step=jnp.asarray(0, jnp.int32),
+    )
+    train_step = step_mod.make_train_step(
+        cfg, optimizer,
+        num_negative=args.num_negative,
+        mask_input=args.mask_input,
+        double_propagate=args.double_propagate,
+    )
+
+    mult = ds.mask_mult_device
+    bin_w = (ds.graph.edge_w > 0).astype(jnp.float32)
+    data_rng = np.random.default_rng(seed)
+    step_key = jax.random.fold_in(key, 1234)
+
+    best_valid, kill_cnt = 0.0, 0
+    train_pos = np.asarray(ds.train_pos)
+    for epoch in range(1, args.epochs + 1):
+        t0 = time.time()
+        total_loss = total_examples = 0.0
+        for idx, w in _iter_batches(data_rng, len(train_pos), args.batch_size):
+            src = jnp.asarray(train_pos[idx, 0])
+            tgt = jnp.asarray(train_pos[idx, 1])
+            state, loss = train_step(
+                state, ds.graph, mult, bin_w, src, tgt, jnp.asarray(w),
+                step_key,
+            )
+            n_real = float(w.sum())
+            total_loss += float(loss) * n_real
+            total_examples += n_real
+        if args.verbose:
+            print(
+                f"Epoch {epoch} Loss: {total_loss / total_examples:.4f} "
+                f"({time.time() - t0:.1f}s)",
+                flush=True,
+            )
+
+        if epoch % args.eval_steps == 0:
+            results = run_eval(state.params, cfg, ds, args)
+            for key_name, result in results.items():
+                if key_name in loggers:
+                    loggers[key_name].add_result(seed, result)
+                if args.verbose and key_name == args.metric:
+                    print(f"  {key_name} = {result}", flush=True)
+            current = loggers[args.metric].best_valid(seed)
+            if current > best_valid:
+                kill_cnt = 0
+                best_valid = current
+                if model_save_name is not None:
+                    ckpt.save_checkpoint(
+                        model_save_name + ".ckpt",
+                        {
+                            "params": state.params,
+                            "opt_state": state.opt_state,
+                            "step": state.step,
+                            "epoch": epoch,
+                            "seed": seed,
+                        },
+                    )
+            else:
+                kill_cnt += 1
+                if kill_cnt > args.kill_cnt:
+                    break
+    return best_valid
+
+
+def train_data(
+    args: TrainArgs, cfg: cfg_mod.LPFormerConfig, ds: LinkPredDataset
+):
+    """Multi-seed driver (reference train_model.py:143-182)."""
+    model_save_name = None
+    if args.save_as is not None:
+        model_save_name = os.path.join(
+            args.checkpoint_dir, args.data_name, args.save_as
+        )
+
+    loggers = {
+        "Hits@20": ResultsLogger(args.runs),
+        "Hits@50": ResultsLogger(args.runs),
+        "Hits@100": ResultsLogger(args.runs),
+    }
+    if args.metric == "MRR" or ds.heart or "citation" in ds.name.lower():
+        loggers["MRR"] = ResultsLogger(args.runs)
+
+    for seed in range(args.runs):
+        run_name = model_save_name
+        if model_save_name is not None and args.runs > 1:
+            run_name = model_save_name + f"_seed-{seed + 1}"
+        train_loop(args, cfg, ds, loggers, seed, run_name)
+
+    print(args.metric + "\n" + "-" * len(args.metric))
+    best_mean, best_var = loggers[args.metric].print_statistics()
+    return (
+        best_mean[1],
+        f"{best_mean[1]} ± {best_var[1]}",
+        f"{best_mean[2]} ± {best_var[2]}",
+    )
