@@ -1,0 +1,273 @@
+"""Benchmark: full fused training step throughput on one chip.
+
+Prints ONE JSON line to stdout:
+  {"metric": "train_step_links_per_s", "value": N, "unit": "links/s/chip",
+   "vs_baseline": R}
+
+value        — positive links per second through the complete jitted
+               training step (propagate x2, context extraction, per-link
+               attention, loss, clipped Adam update) on a collab-like
+               synthetic graph; the SURVEY's north-star edges/s/chip
+               proxy for SpMM + link attention.
+vs_baseline  — speedup vs a "naive port" step: identical math but with
+               the context sets computed by dense N-length row
+               materialization + elementwise set algebra (the direct
+               translation of the reference's sparse-COO approach,
+               reference: src/models/link_transformer.py:214-319) at the
+               largest batch that layout can afford.
+
+Diagnostics (per-stage timings) go to stderr. --smoke runs a tiny config
+on CPU for CI-style sanity.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _time_steps(fn, args, n_warmup=2, n_iter=8):
+    import jax
+
+    state = args[0]
+    for _ in range(n_warmup):
+        state, loss = fn(state, *args[1:])
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        state, loss = fn(state, *args[1:])
+    jax.block_until_ready(loss)
+    return (time.perf_counter() - t0) / n_iter
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--nodes", type=int, default=50_000)
+    ap.add_argument("--edges", type=int, default=400_000)
+    ap.add_argument("--feat", type=int, default=128)
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--naive-batch", type=int, default=512)
+    ap.add_argument("--skip-naive", action="store_true")
+    args = ap.parse_args()
+
+    if args.smoke:
+        import os
+
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        args.nodes, args.edges = 500, 2500
+        args.feat = args.dim = 32
+        args.batch, args.naive_batch = 256, 64
+
+    import jax
+
+    if args.smoke:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from lpformer_tpu.data.synthetic import synthetic_dataset
+    from lpformer_tpu.models import LPFormerConfig, init_lpformer
+    from lpformer_tpu.train import make_optimizer, make_train_step
+    from lpformer_tpu.train.step import TrainState
+
+    print(
+        f"[bench] device={jax.devices()[0]} nodes={args.nodes} "
+        f"edges={args.edges} batch={args.batch}",
+        file=sys.stderr,
+    )
+    t0 = time.time()
+    ds = synthetic_dataset(
+        seed=0,
+        num_nodes=args.nodes,
+        num_train=args.edges,
+        num_eval=1000 if not args.smoke else 50,
+        feat_dim=args.feat,
+        eps=5e-4 if not args.smoke else 1e-3,
+        adj_cap=96,
+        ppr_cap=256,
+    )
+    print(f"[bench] dataset built in {time.time()-t0:.1f}s "
+          f"(adj cap {ds.graph.adj_rows.cap}, ppr cap {ds.graph.ppr_rows.cap})",
+          file=sys.stderr)
+
+    cfg = LPFormerConfig(
+        dim=args.dim,
+        gnn_layers=3 if not args.smoke else 1,
+        budget_cn=64 if not args.smoke else 16,
+        budget_onehop=128 if not args.smoke else 32,
+        budget_non1hop=128 if not args.smoke else 32,
+    )
+    params = init_lpformer(jax.random.PRNGKey(0), cfg, in_dim=args.feat)
+    # keep an undonated copy for the naive-baseline variant
+    params_naive = jax.tree_util.tree_map(lambda x: jnp.array(x), params)
+    opt = make_optimizer(1e-3, steps_per_epoch=100)
+    state = TrainState(params, opt.init(params), jnp.asarray(0, jnp.int32))
+    step = make_train_step(cfg, opt)
+
+    import numpy as np
+
+    tp = np.asarray(ds.train_pos)
+    src = jnp.asarray(tp[: args.batch, 0] % ds.num_nodes)
+    tgt = jnp.asarray(tp[: args.batch, 1] % ds.num_nodes)
+    if len(tp) < args.batch:
+        reps = -(-args.batch // len(tp))
+        tp2 = np.tile(tp, (reps, 1))[: args.batch]
+        src = jnp.asarray(tp2[:, 0])
+        tgt = jnp.asarray(tp2[:, 1])
+    w = jnp.ones((args.batch,), jnp.float32)
+    bin_w = (ds.graph.edge_w > 0).astype(jnp.float32)
+    rng = jax.random.PRNGKey(1)
+
+    t_compile = time.time()
+    step_args = (state, ds.graph, ds.mask_mult_device, bin_w, src, tgt, w, rng)
+    dt = _time_steps(step, step_args)
+    print(
+        f"[bench] fused step: {dt*1e3:.1f} ms "
+        f"(compile+warmup {time.time()-t_compile:.1f}s)",
+        file=sys.stderr,
+    )
+    links_per_s = args.batch / dt
+
+    vs_baseline = 1.0
+    if not args.skip_naive:
+        naive_dt = _bench_naive(
+            cfg, ds, params_naive, args.naive_batch, jax, jnp
+        )
+        naive_links_per_s = args.naive_batch / naive_dt
+        vs_baseline = links_per_s / naive_links_per_s
+        print(
+            f"[bench] naive-port step: {naive_dt*1e3:.1f} ms at batch "
+            f"{args.naive_batch} -> {naive_links_per_s:,.0f} links/s "
+            f"(speedup {vs_baseline:.2f}x)",
+            file=sys.stderr,
+        )
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_step_links_per_s",
+                "value": round(links_per_s, 1),
+                "unit": "links/s/chip",
+                "vs_baseline": round(vs_baseline, 3),
+            }
+        )
+    )
+
+
+def _bench_naive(cfg, ds, params, batch, jax, jnp):
+    """The 'direct translation' step: dense per-link N-vector row algebra
+    for context extraction (what a naive port of the reference's sparse
+    index_select/mul/add would lower to on TPU), same model math."""
+    import numpy as np
+
+    from lpformer_tpu.models import link_transformer as lt
+    from lpformer_tpu.ops.context import ContextTables
+    from lpformer_tpu.train import make_optimizer
+    from lpformer_tpu.train.step import TrainState
+    import optax
+
+    n = ds.num_nodes
+    adj = ds.graph.adj_rows
+    ppr = ds.graph.ppr_rows
+
+    def dense_rows(rows, node_idx, vals=None):
+        # scatter padded rows into dense [B, N+1] vectors
+        out = jnp.zeros((node_idx.shape[0], n + 1),
+                        jnp.float32 if vals is not None else jnp.bool_)
+        nb = rows[node_idx]
+        v = vals[node_idx] if vals is not None else jnp.ones(nb.shape, jnp.bool_)
+        return out.at[jnp.arange(nb.shape[0])[:, None], nb].set(v)[:, :n]
+
+    c_total = cfg.context.total_budget
+
+    def naive_context(src, tgt):
+        a = dense_rows(adj.nbrs, src)
+        b = dense_rows(adj.nbrs, tgt)
+        ps = dense_rows(ppr.nbrs, src, ppr.vals)
+        pt = dense_rows(ppr.nbrs, tgt, ppr.vals)
+        cn = a & b
+        onehop = (a | b) & ~cn
+        non1 = (ps > 0) & (pt > 0) & ~a & ~b
+        keep_cn = cn & (ps >= cfg.thresh_cn) & (pt >= cfg.thresh_cn)
+        keep_1h = onehop & (ps >= cfg.thresh_1hop) & (pt >= cfg.thresh_1hop)
+        keep_n1 = non1 & (ps >= cfg.thresh_non1hop) & (pt >= cfg.thresh_non1hop)
+        cls = (
+            keep_cn.astype(jnp.int32) * 2
+            + keep_1h.astype(jnp.int32)
+            + keep_n1.astype(jnp.int32) * 3
+        )
+        valid_any = cls > 0
+        score = jnp.where(valid_any, 1.0, 0.0)
+        order = jnp.argsort(-score, axis=1)[:, :c_total]
+        take = lambda x: jnp.take_along_axis(x, order, axis=1)  # noqa
+        counts = jnp.stack(
+            [
+                keep_cn.sum(1), keep_1h.sum(1), keep_n1.sum(1),
+                (keep_cn | keep_1h).sum(1),
+            ],
+            axis=-1,
+        ).astype(jnp.float32)
+        v2 = take(valid_any)
+        return ContextTables(
+            ids=jnp.where(v2, order.astype(jnp.int32), n),
+            cls=jnp.where(v2, take(cls), 0),
+            src_ppr=take(ps),
+            tgt_ppr=take(pt),
+            valid=v2,
+            counts=counts,
+            overflow=jnp.zeros(src.shape[0], jnp.int32),
+        )
+
+    from lpformer_tpu.nn import core as nn_core
+
+    def naive_loss(params, src, tgt, nsrc, ntgt, rng):
+        X = lt.propagate(params, cfg, ds.graph, rng=rng, train=True)
+
+        def half(s, t):
+            ctx = naive_context(s, t)
+            elementwise = nn_core.mlp_apply(
+                params["elementwise_lin"], X[s] * X[t]
+            )
+            pairwise, _ = lt.calc_pairwise(params, cfg, X, s, t, ctx)
+            h = jnp.concatenate([elementwise, pairwise], axis=-1)
+            return lt.score_links(params, cfg, h)
+
+        pos = half(src, tgt)
+        neg = half(nsrc, ntgt)
+        return -jnp.mean(jnp.log(pos + 1e-6)) - jnp.mean(jnp.log(1 - neg + 1e-6))
+
+    opt = make_optimizer(1e-3, steps_per_epoch=100)
+    state = TrainState(params, opt.init(params), jnp.asarray(0, jnp.int32))
+
+    @jax.jit
+    def naive_step(state, src, tgt, rng):
+        neg = jax.random.randint(rng, (2, src.shape[0]), 0, n, dtype=src.dtype)
+        loss, grads = jax.value_and_grad(naive_loss)(
+            state.params, src, tgt, neg[0], neg[1], rng
+        )
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        return (
+            TrainState(
+                optax.apply_updates(state.params, updates), opt_state,
+                state.step + 1,
+            ),
+            loss,
+        )
+
+    import numpy as np
+
+    tp = np.asarray(ds.train_pos)
+    reps = -(-batch // len(tp))
+    tp2 = np.tile(tp, (reps, 1))[:batch]
+    src = jnp.asarray(tp2[:, 0])
+    tgt = jnp.asarray(tp2[:, 1])
+    rng = jax.random.PRNGKey(2)
+    return _time_steps(
+        naive_step, (state, src, tgt, rng), n_warmup=2, n_iter=4
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,221 @@
+"""CLI runner, flag-compatible with the reference.
+
+Mirrors reference src/run.py:150-211 (same flag names and defaults where
+they exist), plus TPU-specific knobs (context budgets, platform, mesh).
+
+Usage:
+  python -m lpformer_tpu.cli.run --data_name cora --lr 5e-3 ...
+  python -m lpformer_tpu.cli.run --data_name synthetic --epochs 3   # smoke
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    # (reference run.py:151-202)
+    p.add_argument("--data_name", type=str, default="ogbl-collab")
+    p.add_argument("--runs", type=int, default=1)
+    p.add_argument("--mask-input", action="store_true", default=False)
+    p.add_argument("--non-verbose", action="store_true", default=False)
+
+    p.add_argument("--dim", type=int, default=256)
+    p.add_argument("--tlayers", type=int, default=1)
+    p.add_argument("--num-heads", type=int, default=1)
+    p.add_argument("--gnn-layers", type=int, default=2)
+    p.add_argument("--pred-layers", type=int, default=2)
+    p.add_argument("--dropout", type=float, default=0.2)
+    p.add_argument("--gnn-drop", type=float, default=0.2)
+    p.add_argument("--att-drop", type=float, default=0.1)
+    p.add_argument("--pred-drop", type=float, default=0)
+    p.add_argument("--feat-drop", type=float, default=0)
+    p.add_argument("--residual", action="store_true", default=False)
+    p.add_argument("--no-layer-norm", action="store_true", default=False)
+    p.add_argument("--no-relu", action="store_true", default=False)
+
+    p.add_argument("--epochs", type=int, default=150)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--decay", type=float, default=1.0)
+    p.add_argument("--batch-size", type=int, default=1024)
+    p.add_argument("--test-batch-size", type=int, default=32768)
+    p.add_argument("--num-negative", type=int, default=1)
+    p.add_argument("--eval_steps", type=int, default=5)
+    p.add_argument("--kill_cnt", dest="kill_cnt", default=100, type=int)
+    p.add_argument("--l2", type=float, default=0.0)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--use-val-in-test", action="store_true", default=False)
+    p.add_argument("--heart", action="store_true", default=False)
+    p.add_argument("--save-as", type=str, default=None)
+    p.add_argument("--metric", type=str, default="Hits@100")
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--eps", type=float, default=1e-4)
+    p.add_argument("--thresh-cn", type=float, default=0)
+    p.add_argument("--thresh-1hop", type=float, default=1e-2)
+    p.add_argument("--thresh-non1hop", type=float, default=1e-2)
+
+    # TPU-native additions
+    p.add_argument("--data-dir", type=str, default="dataset")
+    p.add_argument("--platform", type=str, default=None,
+                   help="jax platform override (cpu for local runs)")
+    p.add_argument("--budget-cn", type=int, default=None)
+    p.add_argument("--budget-onehop", type=int, default=None)
+    p.add_argument("--budget-non1hop", type=int, default=None)
+    p.add_argument("--adj-cap", type=int, default=None)
+    p.add_argument("--ppr-cap", type=int, default=None)
+    p.add_argument("--single-propagate", action="store_true", default=False,
+                   help="share one GCN propagation across pos/neg halves")
+    # synthetic-dataset knobs (smoke tests / benches)
+    p.add_argument("--syn-nodes", type=int, default=2000)
+    p.add_argument("--syn-edges", type=int, default=10000)
+    p.add_argument("--syn-feat", type=int, default=64)
+    return p
+
+
+def load_dataset(args):
+    name = args.data_name.lower()
+    if name == "synthetic":
+        from lpformer_tpu.data.synthetic import synthetic_dataset
+
+        return synthetic_dataset(
+            seed=args.seed,
+            num_nodes=args.syn_nodes,
+            num_train=args.syn_edges,
+            num_eval=max(args.syn_edges // 20, 10),
+            feat_dim=args.syn_feat,
+            eps=args.eps,
+            heart=args.heart,
+        )
+    if name in ("cora", "citeseer", "pubmed", "chameleon", "squirrel"):
+        from lpformer_tpu.data.planetoid import read_data_planetoid
+
+        return read_data_planetoid(
+            args.data_name, data_dir=args.data_dir, eps=args.eps,
+            heart=args.heart, seed=args.seed,
+            adj_cap=args.adj_cap, ppr_cap=args.ppr_cap,
+        )
+    from lpformer_tpu.data.ogb import read_data_ogb
+
+    return read_data_ogb(
+        args.data_name, data_dir=args.data_dir, eps=args.eps,
+        heart=args.heart, use_val_in_test=args.use_val_in_test,
+        dim_for_featureless=args.dim, seed=args.seed,
+        adj_cap=args.adj_cap, ppr_cap=args.ppr_cap,
+    )
+
+
+def default_metric(args) -> str:
+    # (reference run.py:102-120)
+    if args.heart:
+        return "MRR"
+    return {
+        "ogbl-collab": "Hits@50",
+        "ogbl-ddi": "Hits@20",
+        "ogbl-ppa": "Hits@100",
+        "ogbl-citation2": "MRR",
+    }.get(args.data_name, "MRR")
+
+
+def build_config(args, ds):
+    from lpformer_tpu.models import LPFormerConfig
+
+    adj_cap = ds.graph.adj_rows.cap
+    ppr_cap = ds.graph.ppr_rows.cap
+    return LPFormerConfig(
+        dim=args.dim,
+        num_heads=args.num_heads,
+        gnn_layers=args.gnn_layers,
+        trans_layers=args.tlayers,
+        pred_layers=args.pred_layers,
+        thresh_cn=args.thresh_cn,
+        thresh_1hop=args.thresh_1hop,
+        thresh_non1hop=args.thresh_non1hop,
+        residual=args.residual,
+        layer_norm=not args.no_layer_norm,
+        relu=not args.no_relu,
+        dropout=args.dropout,
+        gnn_drop=args.gnn_drop,
+        att_drop=args.att_drop,
+        feat_drop=args.feat_drop,
+        pred_drop=args.pred_drop,
+        budget_cn=args.budget_cn or adj_cap,
+        budget_onehop=args.budget_onehop or 2 * adj_cap,
+        budget_non1hop=args.budget_non1hop or ppr_cap,
+    )
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    np.random.seed(args.seed)  # reference init_seed (utils.py:11-17)
+
+    ds = load_dataset(args)
+    args.metric = default_metric(args)
+    cfg = build_config(args, ds)
+
+    from lpformer_tpu.train.trainer import TrainArgs, train_data
+
+    targs = TrainArgs(
+        epochs=args.epochs,
+        lr=args.lr,
+        decay=args.decay,
+        l2=args.l2,
+        batch_size=args.batch_size,
+        test_batch_size=args.test_batch_size,
+        num_negative=args.num_negative,
+        eval_steps=args.eval_steps,
+        kill_cnt=args.kill_cnt,
+        runs=args.runs,
+        seed=args.seed,
+        metric=args.metric,
+        heart=args.heart,
+        mask_input=args.mask_input,
+        save_as=args.save_as,
+        verbose=not args.non_verbose,
+        data_name=args.data_name,
+        double_propagate=not args.single_propagate,
+    )
+
+    if args.checkpoint is not None:
+        return eval_checkpoint(args, cfg, ds)
+    return train_data(targs, cfg, ds)
+
+
+def eval_checkpoint(args, cfg, ds):
+    """Checkpoint-only evaluation (reference run.py:17-87)."""
+    from lpformer_tpu.train.trainer import run_eval, TrainArgs
+    from lpformer_tpu.utils import checkpoint as ckpt
+
+    targs = TrainArgs(
+        test_batch_size=args.test_batch_size, metric=args.metric,
+        heart=args.heart, data_name=args.data_name,
+    )
+    results = []
+    for run in range(1, args.runs + 1):
+        suffix = f"_seed-{run}" if args.runs > 1 else ""
+        path = os.path.join(
+            "checkpoints", args.data_name, args.checkpoint + suffix + ".ckpt"
+        )
+        state = ckpt.load_checkpoint(path)
+        if state is None:
+            raise FileNotFoundError(path)
+        r = run_eval(state["params"], cfg, ds, targs)
+        print(f">>> Seed={run}")
+        for k, v in r.items():
+            print(f"  {k} = {v}")
+        results.append(r[args.metric][-1])
+    print("\nMean Performance:")
+    print(f"    {args.metric} -->", float(np.mean(results)))
+    return results
+
+
+if __name__ == "__main__":
+    main()
