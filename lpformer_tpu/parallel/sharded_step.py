@@ -186,7 +186,7 @@ def make_sharded_loss(
             P(),                                   # rng
         ),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
 
     def loss_fn(params, sg: ShardedGraph, mult, psrc, ptgt, pw,
