@@ -28,16 +28,18 @@ import time
 
 
 def _time_steps(fn, args, n_warmup=2, n_iter=8):
-    import jax
-
+    """Time steps with the state threaded through (forcing sequential
+    device execution) and a single scalar host fetch as the only sync.
+    NOTE: jax.block_until_ready does NOT reliably block on the axon
+    tunnel backend; fetching a value is the only true synchronization."""
     state = args[0]
     for _ in range(n_warmup):
         state, loss = fn(state, *args[1:])
-    jax.block_until_ready(loss)
+    float(loss)  # true sync
     t0 = time.perf_counter()
     for _ in range(n_iter):
         state, loss = fn(state, *args[1:])
-    jax.block_until_ready(loss)
+    float(loss)  # true sync
     return (time.perf_counter() - t0) / n_iter
 
 
