@@ -45,7 +45,7 @@ import jax.numpy as jnp
 
 from lpformer_tpu.graph.containers import PaddedRows
 from lpformer_tpu.ops import masking
-from lpformer_tpu.ops.search import row_search
+from lpformer_tpu.ops.search import row_contains, row_lookup, row_member_values
 
 
 @dataclasses.dataclass(frozen=True)
@@ -122,11 +122,8 @@ def _ppr_lookup(
     ppr: PaddedRows, node_idx: jnp.ndarray, queries: jnp.ndarray
 ) -> jnp.ndarray:
     """ppr(node_idx[b], queries[b, q]); 0.0 when absent."""
-    rows = ppr.nbrs[node_idx]
-    vals = ppr.vals[node_idx]
-    found, pos = row_search(rows, queries)
-    v = jnp.take_along_axis(vals, pos, axis=1)
-    return jnp.where(found, v, 0.0)
+    _, v = row_lookup(ppr.nbrs[node_idx], ppr.vals[node_idx], queries, 0.0)
+    return v
 
 
 def _compact(
@@ -180,16 +177,18 @@ def extract_context(
     # --- CN / 1-hop classification over the union (reference :232-237),
     #     with per-batch positive-edge masking in edge-rank space
     #     (reference train_model.py:38-45) ---
-    a_in_tgt_raw, a_pos_in_tgt = row_search(b_n, a_n)
-    b_in_src_raw, b_pos_in_src = row_search(a_n, b_n)
     if use_mask:
         ranks_a = adj_rows.ranks[src]        # rank of edge (src, v)
         ranks_b = adj_rows.ranks[tgt]        # rank of edge (tgt, v)
+        # membership + cross-edge rank in one fused compare-all pass
+        a_in_tgt_raw, (rank_a_in_tgt,) = row_member_values(
+            b_n, a_n, (ranks_b,), (jnp.int32(-1),)
+        )
+        b_in_src_raw, (rank_b_in_src,) = row_member_values(
+            a_n, b_n, (ranks_a,), (jnp.int32(-1),)
+        )
         valid_a = (a_n < n) & ~masking.rank_is_masked(mask_ranks, ranks_a)
         valid_b = (b_n < n) & ~masking.rank_is_masked(mask_ranks, ranks_b)
-        # rank of cross edges (tgt, v) for v in src's row, via position
-        rank_a_in_tgt = jnp.take_along_axis(ranks_b, a_pos_in_tgt, axis=1)
-        rank_b_in_src = jnp.take_along_axis(ranks_a, b_pos_in_src, axis=1)
         a_in_tgt = a_in_tgt_raw & ~masking.rank_is_masked(
             mask_ranks, rank_a_in_tgt
         )
@@ -199,8 +198,8 @@ def extract_context(
     else:
         valid_a = a_n < n
         valid_b = b_n < n
-        a_in_tgt = a_in_tgt_raw
-        b_in_src = b_in_src_raw
+        a_in_tgt = row_contains(b_n, a_n)
+        b_in_src = row_contains(a_n, b_n)
 
     cn_a = valid_a & a_in_tgt                  # CNs (counted on src half)
     onehop_a = valid_a & ~a_in_tgt             # 1-hop via src only
@@ -225,8 +224,8 @@ def extract_context(
         ps_n = ppr_rows.vals[src]
         pt_n = _ppr_lookup(ppr_rows, tgt, p_n)
         # UNMASKED adjacency on purpose (reference NOTE at :438-441)
-        in_a_raw, _ = row_search(a_n, p_n)
-        in_b_raw, _ = row_search(b_n, p_n)
+        in_a_raw = row_contains(a_n, p_n)
+        in_b_raw = row_contains(b_n, p_n)
         thr_n1 = cfg.thresh_non1hop
         non1 = (
             (p_n < n)

@@ -12,8 +12,9 @@ adjacency is static, and masking happens in *edge-rank space*:
     fast int64, so device code never sees a 64-bit key.
   * Device per batch: each batch edge's rank is recovered by looking up
     tgt in the padded row of src (adjacency == symmetrized train
-    positives, so the entry exists). The sorted rank array + sentinel is
-    the batch mask; membership tests are int32 binary searches.
+    positives, so the entry exists). The mask is materialized as a dense
+    boolean *bitmap over ranks* [U]; membership tests are a single
+    gather (binary-searching a sorted list measured ~10x slower on TPU).
 
 Exact multiplicity semantics are preserved: ogbl-collab's train set has
 duplicate (u, v) pairs (one per collaboration year), and the reference's
@@ -31,7 +32,6 @@ import numpy as np
 from lpformer_tpu.graph.containers import CSRGraph, PaddedRows
 from lpformer_tpu.ops.search import row_lookup
 
-_SENTINEL = np.int32(2**31 - 1)
 _NOT_FOUND = jnp.int32(-2)   # distinct from the -1 "no rank" padding
 
 
@@ -79,60 +79,40 @@ def batch_mask_ranks(
     tgt: jnp.ndarray,
     multiplicities: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Device: sorted [B] int32 array of masked edge ranks for this batch
-    (unmasked slots hold the int32-max sentinel).
-
-    A rank is masked iff the batch contains at least as many instances of
-    the edge as its train multiplicity (see module docstring).
-    """
+    """Device: boolean bitmap [U] over edge ranks, True = masked for this
+    batch. A rank is masked iff the batch contains at least as many
+    instances of the edge as its train multiplicity."""
     assert adj_rows.ranks is not None, "adjacency rows need rank side-array"
     rows = adj_rows.nbrs[src]                      # [B, A]
     rranks = adj_rows.ranks[src]                   # [B, A]
     q = tgt[:, None].astype(rows.dtype)
-    found, rank = row_lookup(rows, rranks, q, _NOT_FOUND)
+    _, rank = row_lookup(rows, rranks, q, _NOT_FOUND)
     rank = rank[:, 0]
 
-    sorted_ranks = jnp.sort(rank)
-    left = jnp.searchsorted(sorted_ranks, rank, side="left")
-    right = jnp.searchsorted(sorted_ranks, rank, side="right")
-    batch_count = (right - left).astype(jnp.int32)
-
-    rank_c = jnp.clip(rank, 0, multiplicities.shape[0] - 1)
-    mult = jnp.where(
-        rank >= 0, multiplicities[rank_c], jnp.int32(2**30)
-    )
-    masked = batch_count >= mult
-    out = jnp.where(masked, rank, jnp.int32(_SENTINEL))
-    return jnp.sort(out)
+    u = multiplicities.shape[0]
+    rank_c = jnp.clip(rank, 0, u - 1)
+    ones = (rank >= 0).astype(jnp.int32)
+    counts = jnp.zeros((u,), jnp.int32).at[rank_c].add(ones)
+    return counts >= multiplicities
 
 
 def rank_is_masked(
-    mask_ranks_sorted: jnp.ndarray, entry_ranks: jnp.ndarray
+    mask_bitmap: jnp.ndarray, entry_ranks: jnp.ndarray
 ) -> jnp.ndarray:
     """Membership of entry ranks (int32, -1 = not a train edge) in the
-    sorted masked-rank set. Shape-preserving."""
-    q = entry_ranks.reshape(-1)
-    pos = jnp.clip(
-        jnp.searchsorted(mask_ranks_sorted, q, side="left"),
-        0,
-        mask_ranks_sorted.shape[0] - 1,
-    )
-    hit = (mask_ranks_sorted[pos] == q) & (q >= 0)
-    return hit.reshape(entry_ranks.shape)
+    masked set: one gather into the bitmap. Shape-preserving."""
+    u = mask_bitmap.shape[0]
+    hit = mask_bitmap[jnp.clip(entry_ranks, 0, u - 1)]
+    return hit & (entry_ranks >= 0)
 
 
 def mask_edge_weights(
-    mask_ranks_sorted: jnp.ndarray,
+    mask_bitmap: jnp.ndarray,
     edge_ranks: jnp.ndarray,
     edge_w: jnp.ndarray,
 ) -> jnp.ndarray:
     """Zero out weights of masked propagation edges — the ``--mask-input``
     variant (reference: src/train/train_model.py:47-57; note the reference
     builds that adjacency *unweighted*, so pass binarized weights)."""
-    hit = rank_is_masked(mask_ranks_sorted, edge_ranks)
+    hit = rank_is_masked(mask_bitmap, edge_ranks)
     return jnp.where(hit, 0.0, edge_w)
-
-
-def empty_mask_ranks() -> jnp.ndarray:
-    """A mask that masks nothing (eval paths)."""
-    return jnp.full((1,), _SENTINEL, dtype=jnp.int32)

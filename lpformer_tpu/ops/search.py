@@ -1,21 +1,35 @@
-"""Batched sorted-row binary search — the workhorse of context extraction.
+"""Batched sorted-row membership / value lookup.
 
-rows [B, K] sorted ascending per row; queries [B, Q]. Returns found mask
-and the clipped insertion position. This is the TPU replacement for the
-reference's sparse index_select + coalesce membership machinery: O(log K)
-vectorized compare-and-gather instead of dynamic sparse algebra.
+Two interchangeable methods (identical results, different TPU cost):
+
+  * ``binary``  — vmapped ``jnp.searchsorted`` ('scan'): O(Q log K) but
+    each round is a dependent take_along_axis gather; on TPU the serial
+    gather chain dominates (measured ~50-120 ms for [4096, 256]x256).
+  * ``onehot``  — compare-all: eq[b, q, k] = (rows[b,k] == q[b,q]),
+    reduced immediately over k. O(Q*K) VPU compares with no gathers;
+    XLA fuses the compare with the reduction so the [B, Q, K] tensor is
+    never materialized. Wins decisively for K <= ~512 (the padded-row
+    caps this framework uses); processed in query chunks to bound the
+    fusion working set.
+
+``row_search`` (which must return the match *position*) stays binary;
+the hot paths only need membership + value lookups and use onehot.
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+
+# chunk so B * Qc * K stays ~64M lanes per fused reduction
+_CHUNK_LANES = 64 * 1024 * 1024
 
 
 def row_search(
     rows: jnp.ndarray, queries: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(found, clipped insertion position) via binary search."""
     pos = jax.vmap(lambda r, q: jnp.searchsorted(r, q, side="left"))(
         rows, queries
     )
@@ -24,13 +38,57 @@ def row_search(
     return found, pos_c
 
 
+def _q_chunks(b: int, q: int, k: int) -> int:
+    per_q = max(b * k, 1)
+    qc = max(1, _CHUNK_LANES // per_q)
+    return min(q, qc)
+
+
+def row_member_values(
+    rows: jnp.ndarray,                  # [B, K] sorted node ids (pad >= n)
+    queries: jnp.ndarray,               # [B, Q]
+    value_arrays: Sequence[jnp.ndarray] = (),   # each [B, K]
+    defaults: Sequence = (),
+) -> Tuple[jnp.ndarray, list]:
+    """One fused pass: membership of each query in its row, plus the row
+    value at the matched position for each value array (``defaults``
+    where absent). Padding never matches because pad ids exceed real ids
+    and queries are real ids (or pads, which only match pads — callers
+    mask those out via their own validity masks).
+    """
+    b, k = rows.shape
+    q = queries.shape[1]
+    qc = _q_chunks(b, q, k)
+    founds, vals = [], [[] for _ in value_arrays]
+    for lo in range(0, q, qc):
+        hi = min(lo + qc, q)
+        eq = rows[:, None, :] == queries[:, lo:hi, None]     # [B, qc, K]
+        founds.append(jnp.any(eq, axis=-1))
+        for i, va in enumerate(value_arrays):
+            eqf = eq.astype(va.dtype)
+            vals[i].append(jnp.einsum("bqk,bk->bq", eqf, va))
+    found = jnp.concatenate(founds, axis=1) if len(founds) > 1 else founds[0]
+    out_vals = []
+    for i, va in enumerate(value_arrays):
+        v = jnp.concatenate(vals[i], axis=1) if len(vals[i]) > 1 else vals[i][0]
+        if defaults and defaults[i] is not None:
+            v = jnp.where(found, v, jnp.asarray(defaults[i], va.dtype))
+        out_vals.append(v)
+    return found, out_vals
+
+
+def row_contains(rows: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:
+    """Membership only (onehot method)."""
+    found, _ = row_member_values(rows, queries)
+    return found
+
+
 def row_lookup(
     rows: jnp.ndarray,
     vals: jnp.ndarray,
     queries: jnp.ndarray,
     default,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(found, value-or-default) for each query."""
-    found, pos = row_search(rows, queries)
-    v = jnp.take_along_axis(vals, pos, axis=1)
-    return found, jnp.where(found, v, default)
+    """(found, value-or-default) for each query (onehot method)."""
+    found, (v,) = row_member_values(rows, queries, (vals,), (default,))
+    return found, v
