@@ -32,11 +32,21 @@ class LPFormerConfig:
     feat_drop: float = 0.0
     pred_drop: float = 0.0
 
+    # "bfloat16" runs every matmul with bf16 inputs + f32 accumulation
+    # (the TPU-native precision; parity tests use float32)
+    matmul_dtype: str = "float32"
+
     # static per-class context budgets (TPU shape caps; set to the padded
     # row caps for exact reference behavior)
     budget_cn: int = 128
     budget_onehop: int = 256
     budget_non1hop: int = 128
+
+    @property
+    def mm_dtype(self):
+        import jax.numpy as jnp
+
+        return jnp.bfloat16 if self.matmul_dtype == "bfloat16" else None
 
     @property
     def mask_mode(self) -> str:

@@ -64,6 +64,7 @@ def gcn_apply(
     relu: bool = True,
     rng: Optional[jax.Array] = None,
     train: bool = False,
+    mm_dtype=None,
 ) -> jnp.ndarray:
     # Normalization depends only on the (possibly batch-masked) weights;
     # compute once and share across layers (the reference's gcn_cache
@@ -71,7 +72,7 @@ def gcn_apply(
     w_norm, diag = spmm.gcn_norm_device(edge_src, edge_dst, edge_w, num_nodes)
     lns = params.get("lns")
     for i, conv in enumerate(params["convs"]):
-        xi = x @ conv["w"]
+        xi = nn.matmul(x, conv["w"], mm_dtype)
         xi = spmm.spmm(edge_src, edge_dst, w_norm, xi, num_nodes, diag=diag)
         xi = xi + conv["bias"]
         if lns is not None:

@@ -127,6 +127,7 @@ def propagate(
         relu=cfg.relu,
         rng=None if rng is None else jax.random.fold_in(rng, 1),
         train=train,
+        mm_dtype=cfg.mm_dtype,
     )
     return nn.layer_norm_apply(params["gnn_norm"], x)
 
@@ -138,8 +139,10 @@ def _pos_encodings(
     MLP per node class applied to its static block of the context table
     (reference: link_transformer.py:182-211)."""
     def sym(mlp_p, ps, pt):
-        a = nn.mlp_apply(mlp_p, jnp.stack([ps, pt], axis=-1))
-        b = nn.mlp_apply(mlp_p, jnp.stack([pt, ps], axis=-1))
+        a = nn.mlp_apply(mlp_p, jnp.stack([ps, pt], axis=-1),
+                         mm_dtype=cfg.mm_dtype)
+        b = nn.mlp_apply(mlp_p, jnp.stack([pt, ps], axis=-1),
+                         mm_dtype=cfg.mm_dtype)
         return a + b
 
     c = cfg.context
@@ -181,14 +184,18 @@ def _att_layer_apply(
       out      = Σ_v softmax(score)_v · W_r[x_v‖pe_v]
     followed by post-LayerNorm + dropout (layers.py:78-80)."""
     h = cfg.num_heads
-    xj = nn.linear_apply(lp["lin_r"], keys_in)            # [B, C, H*O]
+    xj = nn.linear_apply(lp["lin_r"], keys_in, cfg.mm_dtype)  # [B, C, H*O]
     b_, c_, _ = xj.shape
     o = xj.shape[-1] // h
     xj = xj.reshape(b_, c_, h, o)
 
     half = edge_x.shape[-1] // 2
-    e1 = nn.linear_apply(lp["lin_l"], edge_x[:, :half]).reshape(b_, 1, h, o)
-    e2 = nn.linear_apply(lp["lin_l"], edge_x[:, half:]).reshape(b_, 1, h, o)
+    e1 = nn.linear_apply(
+        lp["lin_l"], edge_x[:, :half], cfg.mm_dtype
+    ).reshape(b_, 1, h, o)
+    e2 = nn.linear_apply(
+        lp["lin_l"], edge_x[:, half:], cfg.mm_dtype
+    ).reshape(b_, 1, h, o)
 
     z = jax.nn.leaky_relu(xj * (e1 + e2), negative_slope=0.2)
     logits = jnp.sum(z * lp["att"][None, None], axis=-1)  # [B, C, H]
@@ -243,7 +250,9 @@ def calc_pairwise(
     else:
         cnt = counts  # (cns, 1hop, non1hop, neighbors), reference :172-173
     pairwise_feats = jnp.concatenate([pairwise_feats, cnt], axis=-1)
-    pairwise_feats = nn.mlp_apply(params["pairwise_lin"], pairwise_feats)
+    pairwise_feats = nn.mlp_apply(
+        params["pairwise_lin"], pairwise_feats, mm_dtype=cfg.mm_dtype
+    )
     if return_weights:
         return pairwise_feats, att_weights
     return pairwise_feats, None
@@ -271,7 +280,8 @@ def forward(
             params, cfg, graph, rng=rng, train=train, edge_w=prop_edge_w
         )
     elementwise = nn.mlp_apply(
-        params["elementwise_lin"], X_node[src] * X_node[tgt]
+        params["elementwise_lin"], X_node[src] * X_node[tgt],
+        mm_dtype=cfg.mm_dtype,
     )
     ctx = extract_context(
         graph.adj_rows,
@@ -303,5 +313,5 @@ def score_links(
     (reference: other_models.py:173-179)."""
     return nn.mlp_apply(
         params["score"], h, drop=cfg.pred_drop, rng=rng, train=train,
-        sigmoid=True,
+        sigmoid=True, mm_dtype=cfg.mm_dtype,
     )

@@ -55,8 +55,19 @@ def linear_init(
     return p
 
 
-def linear_apply(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
-    y = x @ params["w"]
+def matmul(x: jnp.ndarray, w: jnp.ndarray, mm_dtype=None) -> jnp.ndarray:
+    """Matmul with optional reduced-precision inputs (bf16 on the MXU)
+    and float32 accumulation."""
+    if mm_dtype is None:
+        return x @ w
+    return jnp.dot(
+        x.astype(mm_dtype), w.astype(mm_dtype),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def linear_apply(params: Dict, x: jnp.ndarray, mm_dtype=None) -> jnp.ndarray:
+    y = matmul(x, params["w"], mm_dtype)
     if "b" in params:
         y = y + params["b"]
     return y
@@ -127,18 +138,19 @@ def mlp_apply(
     rng: Optional[jax.Array] = None,
     train: bool = False,
     sigmoid: bool = False,
+    mm_dtype=None,
 ) -> jnp.ndarray:
     layers = params["layers"]
     n = len(layers)
     for i, lp in enumerate(layers[:-1]):
-        x = linear_apply(lp, x)
+        x = linear_apply(lp, x, mm_dtype)
         if "norm" in params:
             x = layer_norm_apply(params["norm"], x)
         x = jax.nn.relu(x)
         if train and drop > 0 and rng is not None:
             rng, sub = jax.random.split(rng)
             x = dropout(sub, x, drop, train)
-    x = linear_apply(layers[-1], x)
+    x = linear_apply(layers[-1], x, mm_dtype)
     if x.shape[-1] == 1:
         x = jnp.squeeze(x, -1)  # reference MLP squeezes the last dim (:136)
     return jax.nn.sigmoid(x) if sigmoid else x
