@@ -27,6 +27,7 @@ from lpformer_tpu.models.config import LPFormerConfig
 from lpformer_tpu.models.gcn import gcn_apply, gcn_init
 from lpformer_tpu.nn import core as nn
 from lpformer_tpu.ops.context import ContextTables, extract_context
+from lpformer_tpu.ops.gather import gather_rows
 from lpformer_tpu.ops.segment import masked_softmax
 
 
@@ -229,7 +230,7 @@ def calc_pairwise(
     X_ext = jnp.concatenate(
         [X_node, jnp.zeros((1, X_node.shape[-1]), X_node.dtype)], axis=0
     )
-    node_keys = X_ext[ctx.ids]                            # [B, C, dim]
+    node_keys = gather_rows(X_ext, ctx.ids)               # [B, C, dim]
     pes = _pos_encodings(params, cfg, ctx)                # [B, C, dim]
     keys_in = jnp.concatenate([node_keys, pes], axis=-1)  # [B, C, 2*dim]
 

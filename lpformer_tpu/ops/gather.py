@@ -1,0 +1,45 @@
+"""Gathers with TPU-friendly custom backward passes.
+
+XLA's automatic transpose of a gather is an *unsorted* scatter-add,
+which serializes badly on TPU. Two structured replacements:
+
+  * ``gather_rows(table, ids)`` — backward sorts the flattened cotangent
+    rows by id and accumulates with a sorted ``segment_sum`` (the fast
+    scatter path).
+  * ``spmm`` symmetric backward lives in ops/spmm.py: for a symmetric
+    adjacency, d/dx of A@x is A@ct — the same dst-sorted kernel, no
+    unsorted scatter at all.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.custom_vjp
+def gather_rows(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    """table [N, D]; ids int of any shape -> table[ids] [..., D]."""
+    return table[ids]
+
+
+def _gather_fwd(table, ids):
+    return table[ids], (ids, table.shape[0])
+
+
+def _gather_bwd(res, ct):
+    ids, n = res
+    d = ct.shape[-1]
+    flat_ids = ids.reshape(-1)
+    flat_ct = ct.reshape(-1, d)
+    order = jnp.argsort(flat_ids)
+    sorted_ids = flat_ids[order]
+    sorted_ct = jnp.take(flat_ct, order, axis=0)
+    dtable = jax.ops.segment_sum(
+        sorted_ct, sorted_ids, num_segments=n, indices_are_sorted=True
+    )
+    ids_ct = np.zeros(ids.shape, dtype=jax.dtypes.float0)
+    return dtable, ids_ct
+
+
+gather_rows.defvjp(_gather_fwd, _gather_bwd)

@@ -16,6 +16,7 @@ reference: src/train/train_model.py:47-57).
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -45,19 +46,7 @@ def gcn_norm_device(
     return w_norm, diag
 
 
-def spmm(
-    edge_src: jnp.ndarray,
-    edge_dst: jnp.ndarray,
-    edge_w: jnp.ndarray,
-    x: jnp.ndarray,
-    num_nodes: int,
-    diag: Optional[jnp.ndarray] = None,
-) -> jnp.ndarray:
-    """out[v] = sum_{(u,v) in E} w_uv * x[u]  (+ diag[v] * x[v]).
-
-    ``edge_dst`` must be sorted ascending (preprocessing guarantees it),
-    letting XLA use the fast sorted-scatter path.
-    """
+def _spmm_raw(edge_src, edge_dst, edge_w, x, num_nodes, diag):
     gathered = x[edge_src] * edge_w[:, None]
     out = jax.ops.segment_sum(
         gathered, edge_dst, num_segments=num_nodes, indices_are_sorted=True
@@ -65,6 +54,54 @@ def spmm(
     if diag is not None:
         out = out + diag[:, None] * x
     return out
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _spmm_symmetric(edge_src, edge_dst, edge_w, x, num_nodes, diag):
+    return _spmm_raw(edge_src, edge_dst, edge_w, x, num_nodes, diag)
+
+
+def _spmm_sym_fwd(edge_src, edge_dst, edge_w, x, num_nodes, diag):
+    out = _spmm_raw(edge_src, edge_dst, edge_w, x, num_nodes, diag)
+    return out, (edge_src, edge_dst, edge_w, diag)
+
+
+def _spmm_sym_bwd(num_nodes, res, ct):
+    """For symmetric (A = A^T) normalized adjacency, d/dx (A_hat x) =
+    A_hat ct — reuse the dst-sorted fast scatter instead of letting XLA
+    transpose the gather into an unsorted scatter."""
+    edge_src, edge_dst, edge_w, diag = res
+    dx = _spmm_raw(edge_src, edge_dst, edge_w, ct, num_nodes, diag)
+    import numpy as _np
+
+    f0 = lambda a: _np.zeros(a.shape, dtype=jax.dtypes.float0)  # noqa: E731
+    return f0(edge_src), f0(edge_dst), jnp.zeros_like(edge_w), dx, (
+        None if diag is None else jnp.zeros_like(diag)
+    )
+
+
+_spmm_symmetric.defvjp(_spmm_sym_fwd, _spmm_sym_bwd)
+
+
+def spmm(
+    edge_src: jnp.ndarray,
+    edge_dst: jnp.ndarray,
+    edge_w: jnp.ndarray,
+    x: jnp.ndarray,
+    num_nodes: int,
+    diag: Optional[jnp.ndarray] = None,
+    symmetric: bool = True,
+) -> jnp.ndarray:
+    """out[v] = sum_{(u,v) in E} w_uv * x[u]  (+ diag[v] * x[v]).
+
+    ``edge_dst`` must be sorted ascending (preprocessing guarantees it),
+    letting XLA use the fast sorted-scatter path. With ``symmetric=True``
+    (all adjacencies in this framework are symmetrized) the backward pass
+    reuses the same kernel via A = A^T.
+    """
+    if symmetric:
+        return _spmm_symmetric(edge_src, edge_dst, edge_w, x, num_nodes, diag)
+    return _spmm_raw(edge_src, edge_dst, edge_w, x, num_nodes, diag)
 
 
 def gcn_propagate(
