@@ -19,6 +19,35 @@ from lpformer_tpu.graph import preprocess as pp
 from lpformer_tpu.ops import masking
 
 
+def _csr_entry_keys(csr: CSRGraph) -> np.ndarray:
+    deg = csr.indptr[1:] - csr.indptr[:-1]
+    rows = np.repeat(np.arange(csr.num_nodes, dtype=np.int64), deg)
+    return rows * csr.num_nodes + csr.indices.astype(np.int64)
+
+
+def _cross_lookup(
+    adj_csr: CSRGraph, ppr_csr: CSRGraph
+) -> tuple:
+    """Host precompute of the pair-independent lookups:
+      * per adjacency entry (u, v): ppr(u, v)   (0.0 if absent)
+      * per PPR entry (u, v): v in N(u)
+    These remove three of the per-batch compare-all reductions from the
+    device context extraction (the self-side values never depend on the
+    link partner)."""
+    adj_keys = _csr_entry_keys(adj_csr)
+    ppr_keys = _csr_entry_keys(ppr_csr)
+    pos = np.searchsorted(ppr_keys, adj_keys)
+    pos_c = np.clip(pos, 0, max(len(ppr_keys) - 1, 0))
+    found = ppr_keys[pos_c] == adj_keys if len(ppr_keys) else np.zeros_like(adj_keys, bool)
+    adj_selfppr = np.where(found, ppr_csr.weights[pos_c], 0.0).astype(np.float32)
+    pos2 = np.searchsorted(adj_keys, ppr_keys)
+    pos2_c = np.clip(pos2, 0, max(len(adj_keys) - 1, 0))
+    ppr_in_adj = (
+        adj_keys[pos2_c] == ppr_keys if len(adj_keys) else np.zeros_like(ppr_keys, bool)
+    )
+    return adj_selfppr, ppr_in_adj
+
+
 def build_graph_bundle(
     x: np.ndarray,
     edge_src: np.ndarray,
@@ -54,13 +83,24 @@ def build_graph_bundle(
         if mask_uniq_keys is not None
         else None
     )
+    adj_selfppr, ppr_in_adj = _cross_lookup(adj_csr, ppr_csr)
+    adj_bin = pp.binarize_csr(adj_csr)
+    # adjacency row values = self-PPR ppr(u, v): exact host lookup that
+    # the device context extraction reuses; on cap overflow the rows keep
+    # the highest-self-PPR neighbors
+    adj_bin = CSRGraph(
+        indptr=adj_bin.indptr, indices=adj_bin.indices,
+        weights=adj_selfppr, num_nodes=num_nodes,
+    )
     adj_rows = PaddedRows.from_csr(
-        pp.binarize_csr(adj_csr),
+        adj_bin,
         cap=adj_cap,
-        with_vals=False,
+        with_vals=True,
         entry_ranks=entry_ranks,
     )
-    ppr_rows = PaddedRows.from_csr(ppr_csr, cap=ppr_cap, with_vals=True)
+    ppr_rows = PaddedRows.from_csr(
+        ppr_csr, cap=ppr_cap, with_vals=True, entry_flags=ppr_in_adj
+    )
     deg = pp.out_degrees(np.asarray(edge_src, np.int64), num_nodes)
     prop_ranks = (
         masking.edge_ranks_for_entries(ps_, pd_, mask_uniq_keys, num_nodes)

@@ -60,7 +60,7 @@ class CSRGraph:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["nbrs", "vals", "counts", "ranks"],
+    data_fields=["nbrs", "vals", "counts", "ranks", "flags"],
     meta_fields=["cap", "num_nodes"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -79,6 +79,7 @@ class PaddedRows:
     vals: Optional[jnp.ndarray]   # [N, K] float32 or None (0.0 at padding)
     counts: jnp.ndarray           # [N] int32 actual row lengths (<= K)
     ranks: Optional[jnp.ndarray]  # [N, K] int32 or None (-1 at padding)
+    flags: Optional[jnp.ndarray]  # [N, K] bool or None (False at padding)
     cap: int
     num_nodes: int
 
@@ -88,6 +89,7 @@ class PaddedRows:
         cap: Optional[int] = None,
         with_vals: bool = True,
         entry_ranks: Optional[np.ndarray] = None,
+        entry_flags: Optional[np.ndarray] = None,
     ) -> "PaddedRows":
         """Build padded rows from CSR. Rows longer than ``cap`` keep the
         ``cap`` entries with the largest weights (ties → smaller node id),
@@ -107,6 +109,11 @@ class PaddedRows:
         rks = (
             np.full((n, k), -1, dtype=np.int32)
             if entry_ranks is not None
+            else None
+        )
+        flg = (
+            np.zeros((n, k), dtype=bool)
+            if entry_flags is not None
             else None
         )
         counts = np.minimum(deg, k).astype(np.int32)
@@ -130,17 +137,22 @@ class PaddedRows:
         vals[rk, pk] = csr.weights[ok]
         if rks is not None:
             rks[rk, pk] = entry_ranks[ok]
+        if flg is not None:
+            flg[rk, pk] = entry_flags[ok]
         if max_deg > k:
             resort = np.argsort(nbrs, axis=1, kind="stable")
             nbrs = np.take_along_axis(nbrs, resort, axis=1)
             vals = np.take_along_axis(vals, resort, axis=1)
             if rks is not None:
                 rks = np.take_along_axis(rks, resort, axis=1)
+            if flg is not None:
+                flg = np.take_along_axis(flg, resort, axis=1)
         return PaddedRows(
             nbrs=jnp.asarray(nbrs),
             vals=jnp.asarray(vals) if with_vals else None,
             counts=jnp.asarray(counts),
             ranks=jnp.asarray(rks) if rks is not None else None,
+            flags=jnp.asarray(flg) if flg is not None else None,
             cap=k,
             num_nodes=n,
         )

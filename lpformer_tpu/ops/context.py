@@ -206,10 +206,16 @@ def extract_context(
     onehop_b = valid_b & ~b_in_src             # 1-hop via tgt only (dedup CN)
 
     # --- PPR value lookups (reference get_ppr_vals :279-319) ---
-    ps_a = _ppr_lookup(ppr_rows, src, a_n)
+    # self-side values ppr(u, N(u)) are host-precomputed on the adjacency
+    # rows; only the cross values need a per-batch lookup
+    if adj_rows.vals is not None:
+        ps_a = adj_rows.vals[src]
+        pt_b = adj_rows.vals[tgt]
+    else:
+        ps_a = _ppr_lookup(ppr_rows, src, a_n)
+        pt_b = _ppr_lookup(ppr_rows, tgt, b_n)
     pt_a = _ppr_lookup(ppr_rows, tgt, a_n)
     ps_b = _ppr_lookup(ppr_rows, src, b_n)
-    pt_b = _ppr_lookup(ppr_rows, tgt, b_n)
 
     # --- threshold filters (reference :241-250) ---
     thr_cn, thr_1h = cfg.thresh_cn, cfg.thresh_1hop
@@ -223,8 +229,12 @@ def extract_context(
         p_n = ppr_rows.nbrs[src]          # [B, P] ppr support of src
         ps_n = ppr_rows.vals[src]
         pt_n = _ppr_lookup(ppr_rows, tgt, p_n)
-        # UNMASKED adjacency on purpose (reference NOTE at :438-441)
-        in_a_raw = row_contains(a_n, p_n)
+        # UNMASKED adjacency on purpose (reference NOTE at :438-441);
+        # "own support in own neighborhood" is host-precomputed
+        if ppr_rows.flags is not None:
+            in_a_raw = ppr_rows.flags[src]
+        else:
+            in_a_raw = row_contains(a_n, p_n)
         in_b_raw = row_contains(b_n, p_n)
         thr_n1 = cfg.thresh_non1hop
         non1 = (

@@ -50,27 +50,44 @@ def row_member_values(
     value_arrays: Sequence[jnp.ndarray] = (),   # each [B, K]
     defaults: Sequence = (),
 ) -> Tuple[jnp.ndarray, list]:
-    """One fused pass: membership of each query in its row, plus the row
-    value at the matched position for each value array (``defaults``
-    where absent). Padding never matches because pad ids exceed real ids
-    and queries are real ids (or pads, which only match pads — callers
-    mask those out via their own validity masks).
+    """One pass: membership of each query in its row, plus the row value
+    at the matched position for each value array (``defaults`` where
+    absent). Padding never matches because pad ids exceed real ids and
+    queries are real ids (or pads, which only match pads — callers mask
+    those out via their own validity masks).
+
+    The equality tensor is reduced with a single batched ``dot_general``
+    on the MXU (values stacked with a ones column for the membership
+    count). A matmul is opaque to XLA fusion, so the O(Q*K) compare loop
+    is built exactly once instead of being duplicated into every
+    consumer fusion (measured ~10x on the full train step). All values
+    ride f32 lanes: 0/1 and int32 ranks < 2^24 are exact.
     """
     b, k = rows.shape
     q = queries.shape[1]
+    stacked = jnp.stack(
+        [va.astype(jnp.float32) for va in value_arrays]
+        + [jnp.ones((b, k), jnp.float32)],
+        axis=-1,
+    )                                                    # [B, K, V+1]
     qc = _q_chunks(b, q, k)
-    founds, vals = [], [[] for _ in value_arrays]
+    outs = []
     for lo in range(0, q, qc):
         hi = min(lo + qc, q)
-        eq = rows[:, None, :] == queries[:, lo:hi, None]     # [B, qc, K]
-        founds.append(jnp.any(eq, axis=-1))
-        for i, va in enumerate(value_arrays):
-            eqf = eq.astype(va.dtype)
-            vals[i].append(jnp.einsum("bqk,bk->bq", eqf, va))
-    found = jnp.concatenate(founds, axis=1) if len(founds) > 1 else founds[0]
+        eq = (rows[:, None, :] == queries[:, lo:hi, None]).astype(
+            jnp.float32
+        )                                                # [B, qc, K]
+        outs.append(
+            jax.lax.dot_general(
+                eq, stacked, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )                                            # [B, qc, V+1]
+        )
+    out = jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
+    found = out[..., -1] > 0.5
     out_vals = []
     for i, va in enumerate(value_arrays):
-        v = jnp.concatenate(vals[i], axis=1) if len(vals[i]) > 1 else vals[i][0]
+        v = out[..., i].astype(va.dtype)
         if defaults and defaults[i] is not None:
             v = jnp.where(found, v, jnp.asarray(defaults[i], va.dtype))
         out_vals.append(v)
