@@ -12,8 +12,11 @@ from typing import Dict, Optional, Sequence
 import jax.numpy as jnp
 import numpy as np
 
+import jax
+
 from lpformer_tpu.data.dataset import LinkPredDataset
 from lpformer_tpu.evalx import harness, metrics
+from lpformer_tpu.models import link_transformer as lt
 from lpformer_tpu.ops.context import ContextConfig, extract_context
 
 
@@ -75,3 +78,30 @@ def test_by_cn_bins(
             f"Hits@{k}": hits[f"Hits@{k}"],
         }
     return out
+
+
+def attention_weights(
+    params,
+    cfg,
+    ds: LinkPredDataset,
+    edges: np.ndarray,
+    test_set: bool = False,
+):
+    """Per-link attention weights over context nodes — the ``--dump-att``
+    debugging affordance (reference: src/run.py:193, layers.py:69-75).
+
+    Returns (ids [B, C], valid [B, C], alpha [B, C] mean over heads).
+    """
+    g = ds.graph_test if test_set else ds.graph
+    X = harness._propagate_fn(cfg)(params, g)
+    src = jnp.asarray(edges[:, 0])
+    tgt = jnp.asarray(edges[:, 1])
+    ctx = extract_context(g.adj_rows, g.ppr_rows, src, tgt, cfg.context)
+    _, alpha = lt.calc_pairwise(
+        params, cfg, X, src, tgt, ctx, train=False, return_weights=True
+    )
+    return (
+        np.asarray(ctx.ids),
+        np.asarray(ctx.valid),
+        np.asarray(alpha.mean(axis=-1)),
+    )
