@@ -129,33 +129,49 @@ def _ppr_lookup(
 def _compact(
     ids, cls_val, ps, pt, valid, budget: int, num_nodes: int
 ):
-    """Keep up to ``budget`` valid entries per row (highest min-PPR first
-    on overflow). Returns compacted (ids, cls, ps, pt, valid, n_dropped).
-    The output always has exactly ``budget`` columns (zero-padded when the
-    candidate table is narrower) so class blocks stay statically aligned."""
-    b = ids.shape[0]
-    score = jnp.where(valid, 1.0 + jnp.minimum(ps, pt), 0.0)
-    order = jnp.argsort(-score, axis=1, stable=True)[:, :budget]
-    take = lambda a: jnp.take_along_axis(a, order, axis=1)  # noqa: E731
-    v2 = take(valid)
-    ids2 = jnp.where(v2, take(ids), num_nodes)
-    cls2 = jnp.where(v2, cls_val if jnp.ndim(cls_val) == 0 else take(cls_val), 0)
-    ps2, pt2 = take(ps), take(pt)
-    width = ids2.shape[1]
-    if width < budget:
-        pad = budget - width
+    """Compact each row's valid entries into exactly ``budget`` columns.
 
-        def padto(a, fill):
-            return jnp.pad(a, ((0, 0), (0, pad)), constant_values=fill)
+    Prefix-sum positions + a one-hot scatter reduced by a single batched
+    dot_general on the MXU — no sorts and no row-wise dynamic gathers
+    (profiling showed argsort+take_along_axis compaction at ~60ms/class
+    on a [4096, 256] table; this form is ~2ms). On overflow the FIRST
+    ``budget`` valid entries (ascending node id) are kept; the reference
+    has no budgets, so overflow handling is a framework approximation
+    either way, and counts stay exact. Values ride f32 lanes: node ids
+    and both PPR values are exact for graphs with N < 2^24 (all targets;
+    ogbl-citation2 is 2.9M).
 
-        ids2 = padto(ids2, num_nodes)
-        cls2 = padto(cls2, 0)
-        ps2 = padto(ps2, 0.0)
-        pt2 = padto(pt2, 0.0)
-        v2 = padto(v2, False)
+    ``cls_val`` must be a scalar class code (each class compacts its own
+    table). Returns (ids, cls, ps, pt, valid, n_dropped).
+    """
+    assert jnp.ndim(cls_val) == 0, "per-class compaction expects scalar cls"
+    b, i = valid.shape
+    pos = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1       # [B, I]
+    pos = jnp.where(valid, pos, budget)                         # park invalid
+    oh = (
+        pos[:, :, None] == jnp.arange(budget, dtype=jnp.int32)[None, None, :]
+    ).astype(jnp.float32)                                       # [B, I, O]
+    stacked = jnp.stack(
+        [
+            ids.astype(jnp.float32),
+            ps.astype(jnp.float32),
+            pt.astype(jnp.float32),
+            jnp.ones((b, i), jnp.float32),
+        ],
+        axis=-1,
+    )                                                           # [B, I, 4]
+    out = jax.lax.dot_general(
+        oh, stacked, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                                           # [B, O, 4]
+    v2 = out[..., 3] > 0.5
+    ids2 = jnp.where(v2, out[..., 0].astype(jnp.int32), num_nodes)
+    cls2 = jnp.where(v2, cls_val, 0).astype(jnp.int32)
+    ps2 = jnp.where(v2, out[..., 1], 0.0)
+    pt2 = jnp.where(v2, out[..., 2], 0.0)
     n_valid = jnp.sum(valid.astype(jnp.int32), axis=1)
     dropped = jnp.maximum(n_valid - budget, 0)
-    return ids2, cls2.astype(jnp.int32), ps2, pt2, v2, dropped
+    return ids2, cls2, ps2, pt2, v2, dropped
 
 
 def extract_context(
