@@ -64,23 +64,29 @@ def score_edges(
     edges: np.ndarray,
     batch_size: int,
 ) -> np.ndarray:
-    """Score [M, 2] edges in fixed-shape batches (last batch padded)."""
+    """Score [M, 2] edges in fixed-shape batches (last batch padded).
+
+    All batches are dispatched asynchronously and fetched once at the
+    end — per-batch host syncs are expensive (especially through remote
+    TPU transports)."""
     m = len(edges)
     if m == 0:
         return np.zeros((0,), np.float32)
-    out = np.empty((m,), np.float32)
+    outs = []
     for lo in range(0, m, batch_size):
         hi = min(lo + batch_size, m)
         chunk = edges[lo:hi]
         if hi - lo < batch_size:  # pad to the jitted shape
             pad = np.zeros((batch_size - (hi - lo), 2), chunk.dtype)
             chunk = np.concatenate([chunk, pad], axis=0)
-        s = score_fn(
-            params, graph, X_node,
-            jnp.asarray(chunk[:, 0]), jnp.asarray(chunk[:, 1]),
+        outs.append(
+            score_fn(
+                params, graph, X_node,
+                jnp.asarray(chunk[:, 0]), jnp.asarray(chunk[:, 1]),
+            )
         )
-        out[lo:hi] = np.asarray(s)[: hi - lo]
-    return out
+    flat = np.concatenate([np.asarray(o) for o in outs])
+    return flat[:m]
 
 
 def test_standard(
