@@ -73,7 +73,10 @@ def gcn_apply(
     lns = params.get("lns")
     for i, conv in enumerate(params["convs"]):
         xi = nn.matmul(x, conv["w"], mm_dtype)
-        xi = spmm.spmm(edge_src, edge_dst, w_norm, xi, num_nodes, diag=diag)
+        xi = spmm.spmm(
+            edge_src, edge_dst, w_norm, xi, num_nodes, diag=diag,
+            gather_dtype=mm_dtype,
+        )
         xi = xi + conv["bias"]
         if lns is not None:
             xi = nn.layer_norm_apply(lns[i], xi)
