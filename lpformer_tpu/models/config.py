@@ -36,6 +36,9 @@ class LPFormerConfig:
     # (the TPU-native precision; parity tests use float32)
     matmul_dtype: str = "float32"
 
+    # use the fused Pallas attention kernel on the eval path
+    use_pallas_attention: bool = False
+
     # static per-class context budgets (TPU shape caps; set to the padded
     # row caps for exact reference behavior)
     budget_cn: int = 128

@@ -179,24 +179,36 @@ def _att_layer_apply(
     *,
     rng: Optional[jax.Array] = None,
     train: bool = False,
+    return_weights: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """GATv2-ish per-link attention (reference: layers.py:193-224):
       score(v) = att · leaky_relu( W_r[x_v‖pe_v] ⊙ (W_l x_a + W_l x_b) )
       out      = Σ_v softmax(score)_v · W_r[x_v‖pe_v]
     followed by post-LayerNorm + dropout (layers.py:78-80)."""
     h = cfg.num_heads
-    xj = nn.linear_apply(lp["lin_r"], keys_in, cfg.mm_dtype)  # [B, C, H*O]
-    b_, c_, _ = xj.shape
-    o = xj.shape[-1] // h
-    xj = xj.reshape(b_, c_, h, o)
-
+    b_, c_, _ = keys_in.shape
     half = edge_x.shape[-1] // 2
-    e1 = nn.linear_apply(
-        lp["lin_l"], edge_x[:, :half], cfg.mm_dtype
-    ).reshape(b_, 1, h, o)
-    e2 = nn.linear_apply(
-        lp["lin_l"], edge_x[:, half:], cfg.mm_dtype
-    ).reshape(b_, 1, h, o)
+    ho = lp["lin_l"]["w"].shape[1]
+    o = ho // h
+    e1 = nn.linear_apply(lp["lin_l"], edge_x[:, :half], cfg.mm_dtype)
+    e2 = nn.linear_apply(lp["lin_l"], edge_x[:, half:], cfg.mm_dtype)
+
+    if cfg.use_pallas_attention and not train and not return_weights:
+        from lpformer_tpu.ops.pallas import fused_link_attention
+
+        out = fused_link_attention(
+            keys_in, e1 + e2, valid,
+            lp["lin_r"]["w"], lp["lin_r"]["b"], lp["att"], lp["bias"],
+            heads=h,
+            interpret=jax.default_backend() != "tpu",
+        )
+        out = nn.layer_norm_apply(lp["post_norm"], out)
+        return out, None
+
+    xj = nn.linear_apply(lp["lin_r"], keys_in, cfg.mm_dtype)  # [B, C, H*O]
+    xj = xj.reshape(b_, c_, h, o)
+    e1 = e1.reshape(b_, 1, h, o)
+    e2 = e2.reshape(b_, 1, h, o)
 
     z = jax.nn.leaky_relu(xj * (e1 + e2), negative_slope=0.2)
     logits = jnp.sum(z * lp["att"][None, None], axis=-1)  # [B, C, H]
@@ -238,7 +250,8 @@ def calc_pairwise(
     for i, lp in enumerate(params["att_layers"]):
         r = None if rng is None else jax.random.fold_in(rng, 10 + i)
         pairwise_feats, att_weights = _att_layer_apply(
-            lp, cfg, pairwise_feats, keys_in, ctx.valid, rng=r, train=train
+            lp, cfg, pairwise_feats, keys_in, ctx.valid, rng=r, train=train,
+            return_weights=return_weights,
         )
 
     counts = ctx.counts  # [B, 4]: cns, 1hop, non1hop, neighbors
