@@ -68,6 +68,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ppr-cap", type=int, default=None)
     p.add_argument("--single-propagate", action="store_true", default=False,
                    help="share one GCN propagation across pos/neg halves")
+    p.add_argument("--resume", type=str, default=None,
+                   help="checkpoint path to resume training from")
+    p.add_argument("--pallas-attention", action="store_true", default=False)
     # synthetic-dataset knobs (smoke tests / benches)
     p.add_argument("--syn-nodes", type=int, default=2000)
     p.add_argument("--syn-edges", type=int, default=10000)
@@ -144,6 +147,7 @@ def build_config(args, ds):
         budget_cn=args.budget_cn or adj_cap,
         budget_onehop=args.budget_onehop or 2 * adj_cap,
         budget_non1hop=args.budget_non1hop or ppr_cap,
+        use_pallas_attention=args.pallas_attention,
     )
 
 
@@ -182,6 +186,7 @@ def main(argv=None):
         verbose=not args.non_verbose,
         data_name=args.data_name,
         double_propagate=not args.single_propagate,
+        resume=args.resume,
     )
 
     if args.checkpoint is not None:

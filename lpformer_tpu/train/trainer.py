@@ -53,6 +53,7 @@ class TrainArgs:
     verbose: bool = True
     data_name: str = "dataset"
     double_propagate: bool = True
+    resume: Optional[str] = None   # checkpoint path to resume training from
 
 
 def _iter_batches(rng: np.random.Generator, n: int, batch_size: int):
@@ -107,6 +108,18 @@ def train_loop(
         opt_state=optimizer.init(params),
         step=jnp.asarray(0, jnp.int32),
     )
+    start_epoch = 1
+    if args.resume:
+        blob = ckpt.load_checkpoint(args.resume)
+        if blob is not None and int(blob.get("seed", seed)) == seed:
+            state = step_mod.TrainState(
+                params=blob["params"],
+                opt_state=blob["opt_state"],
+                step=jnp.asarray(blob["step"]),
+            )
+            start_epoch = int(blob["epoch"]) + 1
+            if args.verbose:
+                print(f"resumed from {args.resume} at epoch {start_epoch}")
     train_step = step_mod.make_train_step(
         cfg, optimizer,
         num_negative=args.num_negative,
@@ -121,7 +134,7 @@ def train_loop(
 
     best_valid, kill_cnt = 0.0, 0
     train_pos = np.asarray(ds.train_pos)
-    for epoch in range(1, args.epochs + 1):
+    for epoch in range(start_epoch, args.epochs + 1):
         t0 = time.time()
         total_loss = total_examples = 0.0
         for idx, w in _iter_batches(data_rng, len(train_pos), args.batch_size):
