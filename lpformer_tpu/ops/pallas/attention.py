@@ -69,11 +69,18 @@ def fused_link_attention(
     att: jnp.ndarray,     # [H, O]
     bias: jnp.ndarray,    # [H*O]   output bias
     heads: int = 1,
-    block_b: int = 16,
+    block_b: int = 0,
     interpret: bool = False,
 ) -> jnp.ndarray:
     b, c, dk = keys.shape
     ho = w_r.shape[1]
+    if block_b <= 0:
+        # size the batch block so kernel VMEM (inputs + intermediates,
+        # double-buffered) stays well under the ~16MB budget
+        per_row = c * (dk + 3 * ho + 8) * 4 * 2
+        block_b = max(1, min(int(8e6 // max(per_row, 1)), 256))
+        while b % block_b != 0:
+            block_b -= 1
     if b % block_b != 0:
         block_b = 1
     grid = (b // block_b,)
