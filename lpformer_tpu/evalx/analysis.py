@@ -7,7 +7,7 @@ per-sample Hits/ranks grouped by each test edge's CN count.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict, Sequence
 
 import jax.numpy as jnp
 import numpy as np

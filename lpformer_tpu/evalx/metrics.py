@@ -13,7 +13,7 @@ definitions and unit-tested against naive numpy oracles:
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict, Sequence
 
 import jax.numpy as jnp
 

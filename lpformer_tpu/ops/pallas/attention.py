@@ -3,20 +3,12 @@
 Replaces the XLA sequence
   xj = keys @ W_r ; z = leaky_relu(xj * q) ; logits = z . att ;
   alpha = masked_softmax(logits) ; out = sum_C alpha * xj
-with one kernel that keeps a batch-block of keys and its transformed
-form resident in VMEM, writing only the [Bb, H*O] result to HBM — the
-intermediate [B, C, H*O] tensor never round-trips through HBM.
-
-Layout per grid step (grid over batch blocks):
-  keys   [Bb, C, Dk]  -> VMEM block
-  w_r    [Dk, H*O]    -> VMEM (whole, shared across blocks)
-  q      [Bb, H*O]    -> VMEM block  (precomputed e1+e2 per link)
-  att    [H, O]       -> VMEM
-  valid  [Bb, C]      -> VMEM block (f32 0/1)
-  out    [Bb, H*O]
-
-The matmul runs on the MXU as [Bb*C, Dk] @ [Dk, H*O]; everything else
-is VPU elementwise with the softmax over the C axis.
+with one kernel that streams the context axis as a grid dimension with
+an ONLINE masked softmax (flash-attention style): per C-tile, transform
+the keys on the MXU, score on the VPU, and fold into running
+(max, denom, weighted-sum) accumulators held in VMEM scratch. The
+[B, C, H*O] transformed-keys tensor never exists in HBM and only one
+tile of it ever exists in VMEM.
 
 Used on the eval path (train path keeps the XLA composition, whose
 backward is already structured); falls back to interpret mode off-TPU.
@@ -34,29 +26,51 @@ _NEG = -1e30
 
 
 def _kernel(keys_ref, q_ref, valid_ref, w_ref, rbias_ref, att_ref,
-            bias_ref, out_ref, *, heads: int):
-    bb, c, dk = keys_ref.shape
+            bias_ref, out_ref, m_ref, l_ref, acc_ref, *, heads: int):
+    """Specialized for heads == 1 (every published config): all tensors
+    stay 2-D, which keeps Mosaic's sublane/lane tiling happy."""
+    bb, ct, dk = keys_ref.shape
     ho = w_ref.shape[1]
-    o = ho // heads
+    j = pl.program_id(1)
+    n_ct = pl.num_programs(1)
 
-    keys = keys_ref[:].reshape(bb * c, dk)
-    xj = jnp.dot(keys, w_ref[:], preferred_element_type=jnp.float32)
-    xj = (xj + rbias_ref[:][None]).reshape(bb, c, heads, o)
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full((bb, 128), _NEG / 2, jnp.float32)
+        l_ref[:] = jnp.zeros((bb, 128), jnp.float32)
+        acc_ref[:] = jnp.zeros((bb, ho), jnp.float32)
 
-    q = q_ref[:].reshape(bb, 1, heads, o)
-    z = xj * q
-    z = jnp.where(z >= 0, z, 0.2 * z)                       # leaky_relu
-    logits = jnp.sum(z * att_ref[:][None, None], axis=-1)   # [Bb, C, H]
+    xj = jnp.dot(
+        keys_ref[:].reshape(bb * ct, dk), w_ref[:],
+        preferred_element_type=jnp.float32,
+    ) + rbias_ref[:][None]                                      # [bb*ct, O]
+    q = q_ref[:]                                                # [bb, O]
+    qb = jnp.repeat(q, ct, axis=0)                              # [bb*ct, O]
+    z = xj * qb
+    z = jnp.where(z >= 0, z, 0.2 * z)
+    zatt = z * att_ref[:].reshape(1, ho)
+    logits = jnp.sum(zatt.reshape(bb, ct, ho), axis=-1)         # [bb, ct]
+    v = valid_ref[:]
+    logits = jnp.where(v > 0, logits, _NEG)
 
-    v = valid_ref[:][:, :, None]                            # [Bb, C, 1]
-    masked = jnp.where(v > 0, logits, _NEG)
-    m = jnp.maximum(jnp.max(masked, axis=1, keepdims=True), _NEG / 2)
-    e = jnp.exp(masked - m) * v
-    denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-16)
-    alpha = e / denom                                       # [Bb, C, H]
+    m0 = m_ref[:][:, :1]                                        # [bb, 1]
+    m1 = jnp.maximum(m0, jnp.max(logits, axis=1, keepdims=True))
+    corr = jnp.exp(m0 - m1)                                     # [bb, 1]
+    e = jnp.exp(logits - m1) * v                                # [bb, ct]
+    l0 = l_ref[:][:, :1]
+    l_ref[:] = jnp.broadcast_to(l0 * corr + jnp.sum(e, axis=1, keepdims=True),
+                                (bb, 128))
+    # weighted sum: [bb, ct, 1] * [bb, ct, O] reduced over ct (VPU)
+    wsum = jnp.sum(e[:, :, None] * xj.reshape(bb, ct, ho), axis=1)
+    acc_ref[:] = acc_ref[:] * corr + wsum
+    m_ref[:] = jnp.broadcast_to(m1, (bb, 128))
 
-    out = jnp.sum(alpha[..., None] * xj, axis=1)            # [Bb, H, O]
-    out_ref[:] = out.reshape(bb, ho) + bias_ref[:][None]
+    @pl.when(j == n_ct - 1)
+    def _():
+        denom = jnp.maximum(l_ref[:][:, :1], 1e-16)
+        out_ref[:] = acc_ref[:] / denom + bias_ref[:][None]
+
+
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "block_b", "interpret"))
@@ -72,37 +86,46 @@ def fused_link_attention(
     block_b: int = 0,
     interpret: bool = False,
 ) -> jnp.ndarray:
+    assert heads == 1, "fused TPU kernel is specialized for num_heads == 1"
     b, c, dk = keys.shape
     ho = w_r.shape[1]
     if block_b <= 0:
-        # size the batch block so kernel VMEM (inputs + intermediates,
-        # double-buffered) stays well under the ~16MB budget
-        per_row = c * (dk + 3 * ho + 8) * 4 * 2
-        block_b = max(1, min(int(8e6 // max(per_row, 1)), 256))
-        while b % block_b != 0:
-            block_b -= 1
-    if b % block_b != 0:
-        block_b = 1
-    grid = (b // block_b,)
+        block_b = 8
+        while b % block_b != 0 and block_b > 1:
+            block_b //= 2
+    # lane-dim tiling wants C tiles of 128: pad the context axis with
+    # invalid entries (masked out of the softmax)
+    c_tile = min(128, c) if c % 128 == 0 or c < 128 else 128
+    c_pad = -(-c // c_tile) * c_tile
+    if c_pad != c:
+        keys = jnp.pad(keys, ((0, 0), (0, c_pad - c), (0, 0)))
+        valid = jnp.pad(valid, ((0, 0), (0, c_pad - c)))
+        c = c_pad
+    grid = (b // block_b, c // c_tile)
     return pl.pallas_call(
         functools.partial(_kernel, heads=heads),
         out_shape=jax.ShapeDtypeStruct((b, ho), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_b, c, dk), lambda i: (i, 0, 0),
+            pl.BlockSpec((block_b, c_tile, dk), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, ho), lambda i: (i, 0),
+            pl.BlockSpec((block_b, ho), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, c), lambda i: (i, 0),
+            pl.BlockSpec((block_b, c_tile), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((dk, ho), lambda i: (0, 0),
+            pl.BlockSpec((dk, ho), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ho,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((att.shape[0], att.shape[1]), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ho,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ho,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((att.shape[0], att.shape[1]),
+                         lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ho,), lambda i, j: (0,), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_b, ho), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((block_b, ho), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((block_b, 128), jnp.float32),
+            pltpu.VMEM((block_b, 128), jnp.float32),
+            pltpu.VMEM((block_b, ho), jnp.float32),
+        ],
         interpret=interpret,
     )(keys, q, valid.astype(jnp.float32), w_r, r_bias, att, bias)

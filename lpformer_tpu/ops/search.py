@@ -17,7 +17,7 @@ the hot paths only need membership + value lookups and use onehot.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

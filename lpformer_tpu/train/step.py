@@ -24,8 +24,7 @@ static and padded entries get zero loss weight).
 """
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
