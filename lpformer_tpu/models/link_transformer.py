@@ -236,7 +236,9 @@ def calc_pairwise(
 ):
     """Pairwise term over the extracted context tables
     (reference: link_transformer.py:132-178)."""
-    pairwise_feats = jnp.concatenate([X_node[src], X_node[tgt]], axis=-1)
+    pairwise_feats = jnp.concatenate(
+        [gather_rows(X_node, src), gather_rows(X_node, tgt)], axis=-1
+    )
 
     # pad row N = zeros so padded ids gather to zero features
     X_ext = jnp.concatenate(
@@ -294,7 +296,8 @@ def forward(
             params, cfg, graph, rng=rng, train=train, edge_w=prop_edge_w
         )
     elementwise = nn.mlp_apply(
-        params["elementwise_lin"], X_node[src] * X_node[tgt],
+        params["elementwise_lin"],
+        gather_rows(X_node, src) * gather_rows(X_node, tgt),
         mm_dtype=cfg.mm_dtype,
     )
     ctx = extract_context(

@@ -8,8 +8,8 @@ dynamics match:
   * ``linear_init(kind="torch")``  — torch.nn.Linear default
     (kaiming-uniform(a=sqrt(5)) == U(±1/sqrt(fan_in)) for weight & bias).
   * ``linear_init(kind="glorot")`` — PyG Linear(weight_initializer='glorot')
-    with zero bias (used by the attention projections,
-    reference: src/modules/layers.py:130-131).
+    with the PyG default uniform(+-1/sqrt(fan_in)) bias (used by the
+    attention projections, reference: src/modules/layers.py:130-131).
   * LayerNorm: ones/zeros, eps 1e-5 (torch default).
 """
 from __future__ import annotations
@@ -46,7 +46,16 @@ def linear_init(
         w = jax.random.uniform(
             wk, (in_dim, out_dim), dtype, minval=-bound, maxval=bound
         )
-        b = jnp.zeros((out_dim,), dtype) if bias else None
+        # PyG Linear(weight_initializer='glorot') leaves the bias on its
+        # default init: U(+-1/sqrt(fan_in)) (pyg nn.dense.linear)
+        bbound = 1.0 / (in_dim ** 0.5)
+        b = (
+            jax.random.uniform(
+                bk, (out_dim,), dtype, minval=-bbound, maxval=bbound
+            )
+            if bias
+            else None
+        )
     else:
         raise ValueError(f"unknown init kind: {kind}")
     p = {"w": w}

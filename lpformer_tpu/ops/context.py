@@ -29,10 +29,11 @@ shape gathers and vectorized binary searches over padded per-node rows:
     any budget truncation — exact w.r.t. the reference
     [reference :340-386].
 
-Each class is then compacted to a static per-class budget, keeping valid
-entries with the largest min(ppr_src, ppr_tgt) on overflow; overflow is
-reported per link so callers can size budgets (set budget = cap for exact
-behavior).
+Each class is then compacted to a static per-class budget (prefix-sum +
+one-hot MXU scatter: on overflow the FIRST ``budget`` valid entries by
+ascending node id are kept — the reference has no budgets, so overflow
+handling is a framework approximation; counts stay exact). Overflow is
+reported per link so callers can size budgets (budget = cap is exact).
 """
 from __future__ import annotations
 

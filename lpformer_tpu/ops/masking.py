@@ -78,20 +78,35 @@ def batch_mask_ranks(
     src: jnp.ndarray,
     tgt: jnp.ndarray,
     multiplicities: jnp.ndarray,
+    weight: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Device: boolean bitmap [U] over edge ranks, True = masked for this
     batch. A rank is masked iff the batch contains at least as many
-    instances of the edge as its train multiplicity."""
+    instances of the edge as its train multiplicity.
+
+    ``weight``: optional [B] per-link weights — zero-weight entries
+    (padding of a ragged last batch) are NOT counted.
+
+    The rank is recovered from either direction's padded row (src's row
+    or tgt's row): with a per-row cap a high-degree endpoint may have
+    dropped the entry, but it survives in the other row unless BOTH
+    endpoints overflow their caps."""
     assert adj_rows.ranks is not None, "adjacency rows need rank side-array"
-    rows = adj_rows.nbrs[src]                      # [B, A]
-    rranks = adj_rows.ranks[src]                   # [B, A]
-    q = tgt[:, None].astype(rows.dtype)
-    _, rank = row_lookup(rows, rranks, q, _NOT_FOUND)
-    rank = rank[:, 0]
+    _, rank_f = row_lookup(
+        adj_rows.nbrs[src], adj_rows.ranks[src],
+        tgt[:, None].astype(jnp.int32), _NOT_FOUND,
+    )
+    _, rank_b = row_lookup(
+        adj_rows.nbrs[tgt], adj_rows.ranks[tgt],
+        src[:, None].astype(jnp.int32), _NOT_FOUND,
+    )
+    rank = jnp.where(rank_f[:, 0] >= 0, rank_f[:, 0], rank_b[:, 0])
 
     u = multiplicities.shape[0]
     rank_c = jnp.clip(rank, 0, u - 1)
     ones = (rank >= 0).astype(jnp.int32)
+    if weight is not None:
+        ones = ones * (weight > 0).astype(jnp.int32)
     counts = jnp.zeros((u,), jnp.int32).at[rank_c].add(ones)
     return counts >= multiplicities
 

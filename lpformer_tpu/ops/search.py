@@ -60,16 +60,28 @@ def row_member_values(
     on the MXU (values stacked with a ones column for the membership
     count). A matmul is opaque to XLA fusion, so the O(Q*K) compare loop
     is built exactly once instead of being duplicated into every
-    consumer fusion (measured ~10x on the full train step). All values
-    ride f32 lanes: 0/1 and int32 ranks < 2^24 are exact.
+    consumer fusion (measured ~10x on the full train step). Float values
+    ride f32 lanes directly; INTEGER arrays (edge ranks can exceed the
+    2^24 f32-exact range — ogbl-citation2 has ~30M unique train edges)
+    are split into two 15-bit halves, each exact in f32, and
+    reassembled after the reduction.
     """
     b, k = rows.shape
     q = queries.shape[1]
-    stacked = jnp.stack(
-        [va.astype(jnp.float32) for va in value_arrays]
-        + [jnp.ones((b, k), jnp.float32)],
-        axis=-1,
-    )                                                    # [B, K, V+1]
+    lanes = []          # (value_index, kind) per f32 lane
+    cols = []
+    for i, va in enumerate(value_arrays):
+        if jnp.issubdtype(va.dtype, jnp.integer):
+            v64 = va.astype(jnp.int32)
+            cols.append((v64 >> 15).astype(jnp.float32))
+            cols.append((v64 & 0x7FFF).astype(jnp.float32))
+            lanes.append((i, "int_hi"))
+            lanes.append((i, "int_lo"))
+        else:
+            cols.append(va.astype(jnp.float32))
+            lanes.append((i, "float"))
+    cols.append(jnp.ones((b, k), jnp.float32))
+    stacked = jnp.stack(cols, axis=-1)                   # [B, K, L+1]
     qc = _q_chunks(b, q, k)
     outs = []
     for lo in range(0, q, qc):
@@ -81,16 +93,26 @@ def row_member_values(
             jax.lax.dot_general(
                 eq, stacked, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            )                                            # [B, qc, V+1]
+            )                                            # [B, qc, L+1]
         )
     out = jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
     found = out[..., -1] > 0.5
-    out_vals = []
-    for i, va in enumerate(value_arrays):
-        v = out[..., i].astype(va.dtype)
+    out_vals = [None] * len(value_arrays)
+    li = 0
+    while li < len(lanes):
+        i, kind = lanes[li]
+        va = value_arrays[i]
+        if kind == "int_hi":
+            hi_part = out[..., li].astype(jnp.int32)
+            lo_part = out[..., li + 1].astype(jnp.int32)
+            v = ((hi_part << 15) | lo_part).astype(va.dtype)
+            li += 2
+        else:
+            v = out[..., li].astype(va.dtype)
+            li += 1
         if defaults and defaults[i] is not None:
             v = jnp.where(found, v, jnp.asarray(defaults[i], va.dtype))
-        out_vals.append(v)
+        out_vals[i] = v
     return found, out_vals
 
 

@@ -98,9 +98,14 @@ def make_sharded_loss(
         rng,
     ):
         es, ed, ew = es[0, 0], ed[0, 0], ew[0, 0]
-        x_sh, diag_sh = x_sh, diag_sh
         didx = jax.lax.axis_index("data")
         gidx = jax.lax.axis_index("graph")
+        # Encoder dropout must be IDENTICAL across the 'data' axis: the
+        # edge-block partial sums are psum'd over 'data', so every data
+        # shard must see the same dropped activations for its node rows.
+        # Fold only the graph index for the encoder; links (sharded over
+        # both axes) get the fully device-unique rng.
+        enc_rng = jax.random.fold_in(rng, gidx)
         dev_rng = jax.random.fold_in(
             jax.random.fold_in(rng, didx), gidx
         )
@@ -109,11 +114,11 @@ def make_sharded_loss(
         feats = x_sh
         if train and cfg.feat_drop > 0:
             feats = nn.dropout(
-                jax.random.fold_in(dev_rng, 0), feats, cfg.feat_drop, train
+                jax.random.fold_in(enc_rng, 0), feats, cfg.feat_drop, train
             )
         X_shard = _gcn_sharded(
             params["node_encoder"], cfg, feats, es, ed, ew, diag_sh,
-            rows_per, jax.random.fold_in(dev_rng, 1), train,
+            rows_per, jax.random.fold_in(enc_rng, 1), train,
         )
         X_shard = nn.layer_norm_apply(params["gnn_norm"], X_shard)
         X_full = jax.lax.all_gather(X_shard, "graph", axis=0, tiled=True)
@@ -137,8 +142,11 @@ def make_sharded_loss(
                 mask_ranks=ranks,
                 drop_rng=jax.random.fold_in(r, 2), train=train,
             )
+            from lpformer_tpu.ops.gather import gather_rows
+
             elementwise = nn.mlp_apply(
-                params["elementwise_lin"], X_full[src] * X_full[tgt]
+                params["elementwise_lin"],
+                gather_rows(X_full, src) * gather_rows(X_full, tgt),
             )
             pairwise, _ = lt.calc_pairwise(
                 params, cfg, X_full, src, tgt, ctx,

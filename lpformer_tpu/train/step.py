@@ -113,7 +113,9 @@ def make_train_step(
             rng_neg, (2, b * num_negative), 0, graph.num_nodes,
             dtype=src.dtype,
         )  # reference train_model.py:64
-        mask_ranks = masking.batch_mask_ranks(graph.adj_rows, src, tgt, mult)
+        mask_ranks = masking.batch_mask_ranks(
+            graph.adj_rows, src, tgt, mult, weight=w
+        )
         if mask_input:
             # reference builds the masked propagation adjacency UNWEIGHTED
             # (train_model.py:51-53); bin_edge_w is the binarized weights

@@ -93,9 +93,13 @@ def train_loop(
     loggers: Dict[str, ResultsLogger],
     seed: int,
     model_save_name: Optional[str] = None,
+    rng_seed: Optional[int] = None,
 ) -> float:
-    """One seed's training (reference train_model.py:87-140)."""
-    key = jax.random.PRNGKey(seed)
+    """One run's training (reference train_model.py:87-140). ``seed`` is
+    the logger/run index; ``rng_seed`` (default: same) seeds the RNGs."""
+    if rng_seed is None:
+        rng_seed = seed
+    key = jax.random.PRNGKey(rng_seed)
     params = lt.init_lpformer(key, cfg, in_dim=int(ds.graph.x.shape[1]))
     steps_per_epoch = max(
         1, (len(ds.train_pos) + args.batch_size - 1) // args.batch_size
@@ -111,15 +115,24 @@ def train_loop(
     start_epoch = 1
     if args.resume:
         blob = ckpt.load_checkpoint(args.resume)
-        if blob is not None and int(blob.get("seed", seed)) == seed:
-            state = step_mod.TrainState(
-                params=blob["params"],
-                opt_state=blob["opt_state"],
-                step=jnp.asarray(blob["step"]),
+        if blob is None:
+            raise FileNotFoundError(
+                f"--resume checkpoint not found: {args.resume}"
             )
-            start_epoch = int(blob["epoch"]) + 1
-            if args.verbose:
-                print(f"resumed from {args.resume} at epoch {start_epoch}")
+        if int(blob.get("seed", seed)) != seed:
+            print(
+                f"WARNING: resuming run {seed} from a checkpoint saved "
+                f"for seed {blob.get('seed')}",
+                flush=True,
+            )
+        state = step_mod.TrainState(
+            params=blob["params"],
+            opt_state=blob["opt_state"],
+            step=jnp.asarray(blob["step"]),
+        )
+        start_epoch = int(blob["epoch"]) + 1
+        if args.verbose:
+            print(f"resumed from {args.resume} at epoch {start_epoch}")
     train_step = step_mod.make_train_step(
         cfg, optimizer,
         num_negative=args.num_negative,
@@ -129,7 +142,7 @@ def train_loop(
 
     mult = ds.mask_mult_device
     bin_w = (ds.graph.edge_w > 0).astype(jnp.float32)
-    data_rng = np.random.default_rng(seed)
+    data_rng = np.random.default_rng(rng_seed)
     step_key = jax.random.fold_in(key, 1234)
 
     best_valid, kill_cnt = 0.0, 0
@@ -201,11 +214,15 @@ def train_data(
     if args.metric == "MRR" or ds.heart or "citation" in ds.name.lower():
         loggers["MRR"] = ResultsLogger(args.runs)
 
-    for seed in range(args.runs):
+    for run in range(args.runs):
+        # reference semantics (train_model.py:147,165-167): single runs
+        # use init_seed(args.seed); multi-run sweeps re-seed with the run
+        # index. Loggers are always indexed by run.
+        rng_seed = args.seed if args.runs == 1 else run
         run_name = model_save_name
         if model_save_name is not None and args.runs > 1:
-            run_name = model_save_name + f"_seed-{seed + 1}"
-        train_loop(args, cfg, ds, loggers, seed, run_name)
+            run_name = model_save_name + f"_seed-{run + 1}"
+        train_loop(args, cfg, ds, loggers, run, run_name, rng_seed=rng_seed)
 
     print(args.metric + "\n" + "-" * len(args.metric))
     best_mean, best_var = loggers[args.metric].print_statistics()
