@@ -39,6 +39,12 @@ class LPFormerConfig:
     # use the fused Pallas attention kernel on the eval path
     use_pallas_attention: bool = False
 
+    # rematerialize the per-link pairwise block (context keys + attention)
+    # in backward: trades recompute for not holding the [B, C, 2*dim]
+    # activations — needed for high-degree configs (ddi-like) where those
+    # tensors are multi-GB
+    remat_pairwise: bool = True
+
     # static per-class context budgets (TPU shape caps; set to the padded
     # row caps for exact reference behavior)
     budget_cn: int = 128

@@ -240,21 +240,30 @@ def calc_pairwise(
         [gather_rows(X_node, src), gather_rows(X_node, tgt)], axis=-1
     )
 
-    # pad row N = zeros so padded ids gather to zero features
-    X_ext = jnp.concatenate(
-        [X_node, jnp.zeros((1, X_node.shape[-1]), X_node.dtype)], axis=0
-    )
-    node_keys = gather_rows(X_ext, ctx.ids)               # [B, C, dim]
-    pes = _pos_encodings(params, cfg, ctx)                # [B, C, dim]
-    keys_in = jnp.concatenate([node_keys, pes], axis=-1)  # [B, C, 2*dim]
-
-    att_weights = None
-    for i, lp in enumerate(params["att_layers"]):
-        r = None if rng is None else jax.random.fold_in(rng, 10 + i)
-        pairwise_feats, att_weights = _att_layer_apply(
-            lp, cfg, pairwise_feats, keys_in, ctx.valid, rng=r, train=train,
-            return_weights=return_weights,
+    def attend(params, X_node, pairwise_feats, ctx, rng):
+        # pad row N = zeros so padded ids gather to zero features
+        X_ext = jnp.concatenate(
+            [X_node, jnp.zeros((1, X_node.shape[-1]), X_node.dtype)], axis=0
         )
+        node_keys = gather_rows(X_ext, ctx.ids)              # [B, C, dim]
+        pes = _pos_encodings(params, cfg, ctx)               # [B, C, dim]
+        keys_in = jnp.concatenate([node_keys, pes], axis=-1)  # [B, C, 2*dim]
+
+        att_weights = None
+        for i, lp in enumerate(params["att_layers"]):
+            r = None if rng is None else jax.random.fold_in(rng, 10 + i)
+            pairwise_feats_, att_weights = _att_layer_apply(
+                lp, cfg, pairwise_feats if i == 0 else pairwise_feats_,
+                keys_in, ctx.valid, rng=r, train=train,
+                return_weights=return_weights,
+            )
+        return pairwise_feats_, att_weights
+
+    if cfg.remat_pairwise and not return_weights:
+        attend = jax.checkpoint(attend)
+    pairwise_feats, att_weights = attend(
+        params, X_node, pairwise_feats, ctx, rng
+    )
 
     counts = ctx.counts  # [B, 4]: cns, 1hop, non1hop, neighbors
     if cfg.mask_mode == "cn":
