@@ -71,6 +71,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", type=str, default=None,
                    help="checkpoint path to resume training from")
     p.add_argument("--pallas-attention", action="store_true", default=False)
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="micro-batches per optimizer step (memory cap)")
     # synthetic-dataset knobs (smoke tests / benches)
     p.add_argument("--syn-nodes", type=int, default=2000)
     p.add_argument("--syn-edges", type=int, default=10000)
@@ -187,6 +189,7 @@ def main(argv=None):
         data_name=args.data_name,
         double_propagate=not args.single_propagate,
         resume=args.resume,
+        grad_accum=args.grad_accum,
     )
 
     if args.checkpoint is not None:

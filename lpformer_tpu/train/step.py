@@ -100,10 +100,19 @@ def make_train_step(
     mask_input: bool = False,
     double_propagate: bool = True,
     donate: bool = True,
+    grad_accum: int = 1,
 ):
     """Build the jitted step:
     (state, graph, mult, bin_edge_w, batch_src, batch_tgt, weight, rng)
       -> (state, loss)
+
+    ``grad_accum`` > 1 splits the batch into that many micro-batches
+    scanned sequentially, averaging gradients before ONE optimizer
+    update. The positive-edge mask is computed from the FULL batch (the
+    reference masks every batch positive, train_model.py:38-45), so the
+    semantics match the monolithic step exactly up to loss-term
+    grouping; peak activation memory scales with the micro-batch. Use
+    for high-degree configs (ddi/ppa-like) on 16GB chips.
     """
 
     def step(state: TrainState, graph, mult, bin_edge_w, src, tgt, w, rng):
@@ -125,10 +134,44 @@ def make_train_step(
         else:
             prop_w = None
 
-        loss, grads = jax.value_and_grad(loss_fn)(
-            state.params, cfg, graph, src, tgt, neg[0], neg[1], w,
-            mask_ranks, prop_w, rng_loss, double_propagate,
-        )
+        if grad_accum <= 1:
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state.params, cfg, graph, src, tgt, neg[0], neg[1], w,
+                mask_ranks, prop_w, rng_loss, double_propagate,
+            )
+        else:
+            assert b % grad_accum == 0, (
+                f"batch {b} not divisible by grad_accum {grad_accum}"
+            )
+            mb = b % grad_accum == 0 and b // grad_accum
+            nmb = (b * num_negative) // grad_accum
+
+            def micro(carry, xs):
+                acc_loss, acc_grads = carry
+                msrc, mtgt, mw, mns, mnt, mrng = xs
+                l, g = jax.value_and_grad(loss_fn)(
+                    state.params, cfg, graph, msrc, mtgt, mns, mnt, mw,
+                    mask_ranks, prop_w, mrng, double_propagate,
+                )
+                return (
+                    acc_loss + l,
+                    jax.tree_util.tree_map(jnp.add, acc_grads, g),
+                ), None
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            xs = (
+                src.reshape(grad_accum, mb),
+                tgt.reshape(grad_accum, mb),
+                w.reshape(grad_accum, mb),
+                neg[0].reshape(grad_accum, nmb),
+                neg[1].reshape(grad_accum, nmb),
+                jax.random.split(rng_loss, grad_accum),
+            )
+            (loss, grads), _ = jax.lax.scan(micro, (0.0, zeros), xs)
+            loss = loss / grad_accum
+            grads = jax.tree_util.tree_map(
+                lambda g: g / grad_accum, grads
+            )
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )

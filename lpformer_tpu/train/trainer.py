@@ -54,6 +54,7 @@ class TrainArgs:
     data_name: str = "dataset"
     double_propagate: bool = True
     resume: Optional[str] = None   # checkpoint path to resume training from
+    grad_accum: int = 1            # micro-batches per optimizer step
 
 
 def _iter_batches(rng: np.random.Generator, n: int, batch_size: int):
@@ -138,6 +139,7 @@ def train_loop(
         num_negative=args.num_negative,
         mask_input=args.mask_input,
         double_propagate=args.double_propagate,
+        grad_accum=args.grad_accum,
     )
 
     mult = ds.mask_mult_device
