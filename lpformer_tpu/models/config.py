@@ -42,8 +42,9 @@ class LPFormerConfig:
     # rematerialize the per-link pairwise block (context keys + attention)
     # in backward: trades recompute for not holding the [B, C, 2*dim]
     # activations — needed for high-degree configs (ddi-like) where those
-    # tensors are multi-GB
-    remat_pairwise: bool = True
+    # tensors are multi-GB. None = auto (remat when the activation
+    # footprint exceeds ~1GB)
+    remat_pairwise: "bool | None" = None
 
     # static per-class context budgets (TPU shape caps; set to the padded
     # row caps for exact reference behavior)

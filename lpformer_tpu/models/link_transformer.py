@@ -259,7 +259,12 @@ def calc_pairwise(
             )
         return pairwise_feats_, att_weights
 
-    if cfg.remat_pairwise and not return_weights:
+    remat = cfg.remat_pairwise
+    if remat is None:
+        # auto: keys_in [B, C, 2*dim] f32 held for backward
+        bsz, ctot = ctx.ids.shape
+        remat = bsz * ctot * 2 * cfg.dim * 4 > 1e9
+    if remat and not return_weights:
         attend = jax.checkpoint(attend)
     pairwise_feats, att_weights = attend(
         params, X_node, pairwise_feats, ctx, rng
