@@ -263,7 +263,7 @@ def calc_pairwise(
     if remat is None:
         # auto: keys_in [B, C, 2*dim] f32 held for backward
         bsz, ctot = ctx.ids.shape
-        remat = bsz * ctot * 2 * cfg.dim * 4 > 1e9
+        remat = bsz * ctot * 2 * cfg.dim * 4 > 3e9
     if remat and not return_weights:
         attend = jax.checkpoint(attend)
     pairwise_feats, att_weights = attend(
