@@ -106,3 +106,28 @@ def test_sharded_train_step_runs_and_descends():
         state, loss = step(state, sg, ds.mask_mult_device, src, tgt, w, rng)
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
+
+
+def test_encoder_dropout_invariant_to_data_axis():
+    """With ONLY encoder dropout active (feat/gnn), the sharded loss must
+    not depend on the data-axis size: encoder rngs fold only the graph
+    index, so (1, g) and (2, g) meshes see identical dropped activations
+    (regression for the data-axis dropout divergence bug)."""
+    ds, cfg0, params, src, tgt, neg, w, rng = _setup()
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg0, gnn_drop=0.3, feat_drop=0.2)
+
+    losses = {}
+    for d, g in ((1, 4), (2, 4)):
+        mesh = make_mesh(data=d, graph=g, devices=jax.devices()[: d * g])
+        sg = partition_graph(ds.graph, g=g, d=d)
+        loss = jax.jit(
+            make_sharded_loss(cfg, mesh, ds.num_nodes, sg.rows_per_shard,
+                              train=True)
+        )
+        losses[(d, g)] = float(
+            loss(params, sg, ds.mask_mult_device, src, tgt, w,
+                 neg[0], neg[1], w, rng)
+        )
+    assert abs(losses[(1, 4)] - losses[(2, 4)]) < 2e-4, losses
