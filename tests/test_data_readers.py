@@ -133,3 +133,45 @@ def test_analysis_cn_bins():
     params = init_lpformer(jax.random.PRNGKey(0), cfg, in_dim=8)
     out = test_by_cn_bins(params, cfg, ds, batch_size=64, k=10)
     assert sum(v["n"] for v in out.values()) == 30
+
+
+def test_ogb_npz_citation2_layout(tmp_path):
+    """citation2-style npz: directed edge_index, [P, K] target-neg arrays."""
+    from lpformer_tpu.data.ogb import read_data_ogb
+
+    rng = np.random.default_rng(7)
+    n = 70
+    tr = random_edges(rng, n, 200)
+    np.savez_compressed(
+        tmp_path / "ogbl-citation2.npz",
+        num_nodes=n,
+        train_pos=tr,
+        valid_pos=random_edges(rng, n, 20),
+        valid_neg=rng.integers(0, n, (20, 9)),
+        test_pos=random_edges(rng, n, 20),
+        test_neg=rng.integers(0, n, (20, 9)),
+        edge_index=np.stack([tr[:, 0], tr[:, 1]]),  # directed
+        x=rng.standard_normal((n, 8)).astype(np.float32),
+    )
+    ds = read_data_ogb(
+        "ogbl-citation2", data_dir=str(tmp_path), eps=1e-3,
+        cache_dir=str(tmp_path / "pprcache"),
+    )
+    assert ds.metric == "MRR"
+    assert ds.valid_neg.shape == (20, 9)
+    # adjacency symmetrized from the directed edge_index
+    import numpy as _np
+    nb = _np.asarray(ds.graph.adj_rows.nbrs)
+    u, v = int(tr[0, 0]), int(tr[0, 1])
+    assert v in nb[u][nb[u] < n] and u in nb[v][nb[v] < n]
+
+    # end-to-end citation2 eval runs on this dataset
+    import jax
+    from lpformer_tpu.evalx import harness
+    from lpformer_tpu.models import LPFormerConfig, init_lpformer
+
+    cfg = LPFormerConfig(dim=16, gnn_layers=1, budget_cn=16,
+                         budget_onehop=32, budget_non1hop=32)
+    params = init_lpformer(jax.random.PRNGKey(0), cfg, in_dim=8)
+    r = harness.test_citation2(params, cfg, ds, batch_size=64)
+    assert "MRR" in r
