@@ -73,6 +73,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pallas-attention", action="store_true", default=False)
     p.add_argument("--grad-accum", type=int, default=1,
                    help="micro-batches per optimizer step (memory cap)")
+    p.add_argument("--dump-att", action="store_true", default=False,
+                   help="after training, dump attention weights over the "
+                        "test positives to attention_weights.npz")
     # synthetic-dataset knobs (smoke tests / benches)
     p.add_argument("--syn-nodes", type=int, default=2000)
     p.add_argument("--syn-edges", type=int, default=10000)
@@ -194,7 +197,35 @@ def main(argv=None):
 
     if args.checkpoint is not None:
         return eval_checkpoint(args, cfg, ds)
-    return train_data(targs, cfg, ds)
+    result = train_data(targs, cfg, ds)
+    if args.dump_att and args.save_as:
+        _dump_attention(args, cfg, ds)
+    return result
+
+
+def _dump_attention(args, cfg, ds):
+    """--dump-att: attention weights of the best checkpoint over test
+    positives (reference run.py:193, layers.py:69-75)."""
+    from lpformer_tpu.evalx.analysis import attention_weights
+    from lpformer_tpu.utils import checkpoint as ckpt
+
+    path = os.path.join(
+        "checkpoints", args.data_name,
+        args.save_as + ("_seed-1" if args.runs > 1 else "") + ".ckpt",
+    )
+    state = ckpt.load_checkpoint(path)
+    if state is None:
+        print(f"--dump-att: no checkpoint at {path}")
+        return
+    edges = np.asarray(ds.test_pos)[: args.test_batch_size]
+    ids, valid, alpha = attention_weights(
+        state["params"], cfg, ds, edges, test_set=True
+    )
+    np.savez_compressed(
+        "attention_weights.npz", edges=edges, ids=ids, valid=valid,
+        alpha=alpha,
+    )
+    print(f"--dump-att: wrote attention_weights.npz for {len(edges)} edges")
 
 
 def eval_checkpoint(args, cfg, ds):

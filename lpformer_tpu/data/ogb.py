@@ -152,6 +152,19 @@ def read_data_ogb(
     valid_pos, valid_neg = raw["valid_pos"], raw["valid_neg"]
     test_pos, test_neg = raw["test_pos"], raw["test_neg"]
 
+    # HeaRT overrides val/test POSITIVES for ogbl-ppa via saved index
+    # files (reference read_datasets.py:59-67)
+    if heart and "ppa" in data_name:
+        hd0 = heart_dir or os.path.join(data_dir, "heart")
+        import torch
+
+        with open(os.path.join(hd0, data_name, "valid_samples_index.pt"), "rb") as f:
+            val_ix = torch.load(f, weights_only=False).numpy()
+        with open(os.path.join(hd0, data_name, "test_samples_index.pt"), "rb") as f:
+            test_ix = torch.load(f, weights_only=False).numpy()
+        valid_pos = valid_pos[val_ix]
+        test_pos = test_pos[test_ix]
+
     # featureless graphs (ddi/ppa-ish): random features. NOTE the
     # reference stores a xavier Parameter in a dict so it never actually
     # trains (read_datasets.py:76-77) — static random features here are

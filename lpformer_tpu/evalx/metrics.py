@@ -62,6 +62,24 @@ def evaluate_mrr(
     return out
 
 
+def sample_level_hits(
+    pos_pred: jnp.ndarray, neg_pred: jnp.ndarray
+) -> Dict[str, jnp.ndarray]:
+    """Per-sample hit indicators (reference: evaluation.py:53-71)."""
+    ranks = mrr_ranks(
+        pos_pred,
+        jnp.broadcast_to(
+            neg_pred.reshape(1, -1), (pos_pred.shape[0], neg_pred.shape[0])
+        )
+        if neg_pred.ndim == 1
+        else neg_pred,
+    )
+    return {
+        f"Hits@{k}": (ranks <= k).astype(jnp.float32)
+        for k in (20, 50, 100)
+    }
+
+
 def get_metric_score(
     pos_train_pred: jnp.ndarray,
     pos_val_pred: jnp.ndarray,
