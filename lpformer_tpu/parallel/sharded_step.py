@@ -206,6 +206,70 @@ def make_sharded_loss(
     return loss_fn
 
 
+def make_sharded_score(
+    cfg: LPFormerConfig,
+    mesh: Mesh,
+    num_nodes: int,
+    rows_per: int,
+):
+    """Sharded eval scorer: (params, sg, src, tgt) -> scores [B].
+    Propagation is graph-sharded; the link batch is sharded over the full
+    mesh; no masking, no dropout (eval semantics)."""
+
+    def inner(params, x_sh, es, ed, ew, diag_sh, adj_rows, ppr_rows,
+              src, tgt):
+        es, ed, ew = es[0, 0], ed[0, 0], ew[0, 0]
+        X_shard = _gcn_sharded(
+            params["node_encoder"], cfg, x_sh, es, ed, ew, diag_sh,
+            rows_per, None, False,
+        )
+        X_shard = nn.layer_norm_apply(params["gnn_norm"], X_shard)
+        X_full = jax.lax.all_gather(X_shard, "graph", axis=0, tiled=True)
+        X_full = X_full[:num_nodes]
+
+        from lpformer_tpu.ops.gather import gather_rows
+
+        ctx = extract_context(
+            adj_rows, ppr_rows, src, tgt, cfg.context, train=False
+        )
+        elementwise = nn.mlp_apply(
+            params["elementwise_lin"],
+            gather_rows(X_full, src) * gather_rows(X_full, tgt),
+        )
+        pairwise, _ = lt.calc_pairwise(
+            params, cfg, X_full, src, tgt, ctx, train=False
+        )
+        h = jnp.concatenate([elementwise, pairwise], axis=-1)
+        return lt.score_links(params, cfg, h, train=False)
+
+    sharded = shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(
+            P(),
+            P("graph", None),
+            P("graph", "data", None),
+            P("graph", "data", None),
+            P("graph", "data", None),
+            P("graph"),
+            P(), P(),
+            P(("data", "graph")),
+            P(("data", "graph")),
+        ),
+        out_specs=P(("data", "graph")),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def score(params, sg: ShardedGraph, src, tgt):
+        return sharded(
+            params, sg.x, sg.edge_src, sg.edge_dst_local, sg.edge_w,
+            sg.diag, sg.adj_rows, sg.ppr_rows, src, tgt,
+        )
+
+    return score
+
+
 def make_sharded_train_step(
     cfg: LPFormerConfig,
     optimizer: optax.GradientTransformation,

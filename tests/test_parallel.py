@@ -131,3 +131,18 @@ def test_encoder_dropout_invariant_to_data_axis():
                  neg[0], neg[1], w, rng)
         )
     assert abs(losses[(1, 4)] - losses[(2, 4)]) < 2e-4, losses
+
+
+def test_sharded_eval_matches_single_device():
+    from lpformer_tpu.parallel import make_sharded_score
+    from lpformer_tpu.models import forward as fwd, score_links
+
+    ds, cfg, params, src, tgt, neg, w, rng = _setup()
+    h = fwd(params, cfg, ds.graph, src, tgt, train=False)
+    want = np.asarray(score_links(params, cfg, h, train=False))
+
+    mesh = make_mesh(data=2, graph=4)
+    sg = partition_graph(ds.graph, g=4, d=2)
+    score = make_sharded_score(cfg, mesh, ds.num_nodes, sg.rows_per_shard)
+    got = np.asarray(score(params, sg, src, tgt))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
