@@ -164,7 +164,9 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", args.platform)
 
-    np.random.seed(args.seed)  # reference init_seed (utils.py:11-17)
+    from lpformer_tpu.utils.seed import init_seed
+
+    init_seed(args.seed)  # reference init_seed (utils.py:11-17)
 
     ds = load_dataset(args)
     args.metric = default_metric(args)

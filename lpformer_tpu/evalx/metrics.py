@@ -19,12 +19,17 @@ import jax.numpy as jnp
 
 
 def evaluate_hits_single(
-    pos_pred: jnp.ndarray, neg_pred: jnp.ndarray, k: int
+    pos_pred: jnp.ndarray, neg_pred: jnp.ndarray, k: int,
+    neg_sorted: bool = False,
 ) -> jnp.ndarray:
-    """Hits@K with a shared negative set (OGB eval_hits semantics)."""
+    """Hits@K with a shared negative set (OGB eval_hits semantics).
+
+    ``neg_sorted``: pass True when ``neg_pred`` is already ascending —
+    the citation2-size negative array (1e8 entries) is sorted ONCE by
+    the callers below and indexed per K, instead of re-sorted per K."""
     if neg_pred.shape[0] < k:
         return jnp.asarray(1.0)
-    kth = jnp.sort(neg_pred)[-k]
+    kth = neg_pred[-k] if neg_sorted else jnp.sort(neg_pred)[-k]
     return jnp.mean((pos_pred > kth).astype(jnp.float32))
 
 
@@ -32,8 +37,11 @@ def evaluate_hits(
     pos_pred: jnp.ndarray, neg_pred: jnp.ndarray, k_list: Sequence[int]
 ) -> Dict[str, float]:
     """(reference: evaluation.py:7-18)"""
+    neg_sorted = jnp.sort(neg_pred)
     return {
-        f"Hits@{k}": float(evaluate_hits_single(pos_pred, neg_pred, k))
+        f"Hits@{k}": float(
+            evaluate_hits_single(pos_pred, neg_sorted, k, neg_sorted=True)
+        )
         for k in k_list
     }
 
@@ -93,11 +101,16 @@ def get_metric_score(
     Returns {metric: (train, valid, test)}. Train positives are scored
     against the *validation* negatives, as in the reference (:114,122)."""
     result = {}
+    neg_val_sorted = jnp.sort(neg_val_pred)
+    neg_test_sorted = jnp.sort(neg_test_pred)
     for k in k_list:
         result[f"Hits@{k}"] = (
-            float(evaluate_hits_single(pos_train_pred, neg_val_pred, k)),
-            float(evaluate_hits_single(pos_val_pred, neg_val_pred, k)),
-            float(evaluate_hits_single(pos_test_pred, neg_test_pred, k)),
+            float(evaluate_hits_single(
+                pos_train_pred, neg_val_sorted, k, neg_sorted=True)),
+            float(evaluate_hits_single(
+                pos_val_pred, neg_val_sorted, k, neg_sorted=True)),
+            float(evaluate_hits_single(
+                pos_test_pred, neg_test_sorted, k, neg_sorted=True)),
         )
     if with_mrr:
         # shared negatives broadcast per positive (reference :122-124)

@@ -135,20 +135,41 @@ def _compact(
     Prefix-sum positions + a one-hot scatter reduced by a single batched
     dot_general on the MXU — no sorts and no row-wise dynamic gathers
     (profiling showed argsort+take_along_axis compaction at ~60ms/class
-    on a [4096, 256] table; this form is ~2ms). On overflow the FIRST
-    ``budget`` valid entries (ascending node id) are kept; the reference
-    has no budgets, so overflow handling is a framework approximation
-    either way, and counts stay exact. Values ride f32 lanes: node ids
-    and both PPR values are exact for graphs with N < 2^24 (all targets;
-    ogbl-citation2 is 2.9M).
+    on a [4096, 256] table; this form is ~2ms). On overflow the entries
+    with the largest ``ppr_s + ppr_t`` are kept (ties broken toward the
+    FIRST entries, i.e. ascending node id) — mirroring the top-by-weight
+    cap policy of :meth:`PaddedRows.from_csr`, so budget pressure drops
+    the *least important* context nodes. The reference has no budgets
+    (budget = cap is exact); counts stay exact regardless. Values ride
+    f32 lanes: node ids and both PPR values are exact for graphs with
+    N < 2^24 (all targets; ogbl-citation2 is 2.9M).
+
+    The top-k selection avoids a full sort: ``lax.top_k`` on the score
+    alone finds the row's k-th score (values only, no gather of the
+    payload); entries strictly above it are kept, and ties at the
+    threshold are admitted in ascending-id order via a prefix count.
+    The surviving set then compacts with the same one-hot scatter.
 
     ``cls_val`` must be a scalar class code (each class compacts its own
     table). Returns (ids, cls, ps, pt, valid, n_dropped).
     """
     assert jnp.ndim(cls_val) == 0, "per-class compaction expects scalar cls"
     b, i = valid.shape
-    pos = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1       # [B, I]
-    pos = jnp.where(valid, pos, budget)                         # park invalid
+    if i > budget:
+        # top-by-(ppr_s + ppr_t) retention under budget pressure
+        neg_inf = jnp.float32(-jnp.inf)
+        score = jnp.where(valid, ps + pt, neg_inf)              # [B, I]
+        kth = jax.lax.top_k(score, budget)[0][:, -1]            # [B]
+        keep_hi = valid & (score > kth[:, None])
+        at_thr = valid & (score == kth[:, None])
+        n_hi = jnp.sum(keep_hi.astype(jnp.int32), axis=1)
+        room = jnp.maximum(budget - n_hi, 0)[:, None]
+        thr_rank = jnp.cumsum(at_thr.astype(jnp.int32), axis=1) - 1
+        keep = keep_hi | (at_thr & (thr_rank < room))
+    else:
+        keep = valid
+    pos = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1        # [B, I]
+    pos = jnp.where(keep, pos, budget)                          # park invalid
     oh = (
         pos[:, :, None] == jnp.arange(budget, dtype=jnp.int32)[None, None, :]
     ).astype(jnp.float32)                                       # [B, I, O]

@@ -151,7 +151,12 @@ def train_loop(
     train_pos = np.asarray(ds.train_pos)
     for epoch in range(start_epoch, args.epochs + 1):
         t0 = time.time()
-        total_loss = total_examples = 0.0
+        # Device-side loss accumulator: a per-step float(loss) host fetch
+        # would serialize host<->device every batch (the fetch is the only
+        # true sync on the axon transport); accumulate on device and fetch
+        # ONE scalar at the epoch boundary.
+        total_loss = jnp.zeros((), jnp.float32)
+        total_examples = 0.0
         for idx, w in _iter_batches(data_rng, len(train_pos), args.batch_size):
             src = jnp.asarray(train_pos[idx, 0])
             tgt = jnp.asarray(train_pos[idx, 1])
@@ -160,11 +165,11 @@ def train_loop(
                 step_key,
             )
             n_real = float(w.sum())
-            total_loss += float(loss) * n_real
+            total_loss = total_loss + loss * n_real
             total_examples += n_real
         if args.verbose:
             print(
-                f"Epoch {epoch} Loss: {total_loss / total_examples:.4f} "
+                f"Epoch {epoch} Loss: {float(total_loss) / total_examples:.4f} "
                 f"({time.time() - t0:.1f}s)",
                 flush=True,
             )

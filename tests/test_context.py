@@ -229,3 +229,34 @@ def test_budget_truncation_and_overflow():
     over = np.asarray(ctx.overflow)
     total = counts[:, 0] + counts[:, 1] + counts[:, 2]
     assert (over == total - kept).all()
+
+
+def test_budget_overflow_keeps_top_by_ppr():
+    """Under budget pressure the kept entries must be the top-k by
+    ppr_s + ppr_t per class (ties -> ascending node id), mirroring
+    PaddedRows.from_csr's top-by-weight cap policy."""
+    ds = _dataset()
+    big = ContextConfig.from_thresholds(
+        0.0, 1e-4, 1e-4, budget_cn=80, budget_onehop=160, budget_non1hop=80
+    )
+    small = ContextConfig.from_thresholds(
+        0.0, 1e-4, 1e-4, budget_cn=2, budget_onehop=3, budget_non1hop=2
+    )
+    src = jnp.asarray(ds.valid_pos[:10, 0])
+    tgt = jnp.asarray(ds.valid_pos[:10, 1])
+    full = extract_context(ds.graph.adj_rows, ds.graph.ppr_rows, src, tgt, big)
+    cut = extract_context(ds.graph.adj_rows, ds.graph.ppr_rows, src, tgt, small)
+    got_full = _tables_to_sets(full)
+    got_cut = _tables_to_sets(cut)
+    budgets = {"cn": 2, "1hop": 3, "non1hop": 2}
+    for b in range(10):
+        for cls_name, budget in budgets.items():
+            entries = got_full[b][cls_name]
+            # expected: top-`budget` by ps+pt, ties toward smaller id
+            want = sorted(
+                entries.items(), key=lambda kv: (-(kv[1][0] + kv[1][1]), kv[0])
+            )[:budget]
+            want_ids = {v for v, _ in want}
+            assert set(got_cut[b][cls_name].keys()) == want_ids, (
+                f"link {b} class {cls_name}: kept set is not top-by-PPR"
+            )
