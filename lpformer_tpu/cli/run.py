@@ -71,6 +71,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", type=str, default=None,
                    help="checkpoint path to resume training from")
     p.add_argument("--pallas-attention", action="store_true", default=False)
+    p.add_argument("--mesh", type=str, default=None,
+                   help="'D,G' (data x graph) or 'auto': train + eval over "
+                        "a device mesh with row-sharded context state")
     p.add_argument("--grad-accum", type=int, default=1,
                    help="micro-batches per optimizer step (memory cap)")
     p.add_argument("--dump-att", action="store_true", default=False,
@@ -195,6 +198,7 @@ def main(argv=None):
         double_propagate=not args.single_propagate,
         resume=args.resume,
         grad_accum=args.grad_accum,
+        mesh=args.mesh,
     )
 
     if args.checkpoint is not None:

@@ -89,6 +89,15 @@ def score_edges(
     return flat[:m]
 
 
+def _resolve_eval_fns(cfg, ds, sharded):
+    """(score_fn, prop, graph_train, graph_test): single-device compiled
+    callables, or the mesh-sharded ones from a ShardedEvalContext —
+    signature-compatible, so the harness loops below are shared."""
+    if sharded is None:
+        return _score_fn(cfg), _propagate_fn(cfg), ds.graph, ds.graph_test
+    return sharded.score, sharded.prop, sharded.sg, sharded.sg_test
+
+
 def test_standard(
     params,
     cfg: "_cfg_mod.LPFormerConfig",
@@ -97,19 +106,17 @@ def test_standard(
     k_list: Sequence[int] = (20, 50, 100),
     heart: bool = False,
     with_mrr: Optional[bool] = None,
+    sharded=None,
 ) -> Dict[str, tuple]:
-    """reference test() (testing.py:124-173)."""
-    score_fn = _score_fn(cfg)
-    prop = _propagate_fn(cfg)
-    X_train = prop(params, ds.graph)
-    X_test = (
-        X_train
-        if ds.graph_test is ds.graph
-        else prop(params, ds.graph_test)
-    )
+    """reference test() (testing.py:124-173). Pass a
+    :class:`lpformer_tpu.parallel.eval.ShardedEvalContext` as ``sharded``
+    to run the scoring over a device mesh."""
+    score_fn, prop, g_train, g_test = _resolve_eval_fns(cfg, ds, sharded)
+    X_train = prop(params, g_train)
+    X_test = X_train if g_test is g_train else prop(params, g_test)
 
     def sc(edges, test_set=False):
-        g = ds.graph_test if test_set else ds.graph
+        g = g_test if test_set else g_train
         X = X_test if test_set else X_train
         return score_edges(score_fn, params, g, X, np.asarray(edges), batch_size)
 
@@ -148,20 +155,16 @@ def test_citation2(
     cfg: "_cfg_mod.LPFormerConfig",
     ds: LinkPredDataset,
     batch_size: int = 32768,
+    sharded=None,
 ) -> Dict[str, tuple]:
     """reference test_citation2 (testing.py:50-74): negatives are
     [P, K] target-node ids scored against the repeated source."""
-    score_fn = _score_fn(cfg)
-    prop = _propagate_fn(cfg)
-    X = prop(params, ds.graph)
-    X_test = (
-        X
-        if ds.graph_test is ds.graph
-        else prop(params, ds.graph_test)
-    )
+    score_fn, prop, g_train, g_test = _resolve_eval_fns(cfg, ds, sharded)
+    X = prop(params, g_train)
+    X_test = X if g_test is g_train else prop(params, g_test)
 
     def sc(edges, test_set=False):
-        g = ds.graph_test if test_set else ds.graph
+        g = g_test if test_set else g_train
         Xn = X_test if test_set else X
         return score_edges(score_fn, params, g, Xn, np.asarray(edges), batch_size)
 

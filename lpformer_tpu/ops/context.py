@@ -127,6 +127,60 @@ def _ppr_lookup(
     return v
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "adj_nbrs", "adj_vals", "adj_ranks", "ppr_nbrs", "ppr_vals",
+        "ppr_flags",
+    ],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class LinkRows:
+    """Row views for one endpoint list [B]: the adjacency and PPR rows of
+    each node, gathered out of the padded row tables. Separating the
+    *gather* from the *extraction* lets the sharded path substitute a
+    collective (psum_scatter) gather over row-sharded tables while the
+    single-device path gathers locally — the extraction math
+    (:func:`extract_context_rows`) is identical.
+
+    adj_nbrs  [B, A] int32  sorted neighbor ids (pad = num_nodes)
+    adj_vals  [B, A] f32    self-PPR ppr(u, N(u)) or None
+    adj_ranks [B, A] int32  train-edge ranks or None (-1 = none)
+    ppr_nbrs  [B, P] int32  sorted PPR support (pad = num_nodes)
+    ppr_vals  [B, P] f32    ppr(u, v)
+    ppr_flags [B, P] bool   "v is in u's (unmasked) 1-hop" or None
+    """
+
+    adj_nbrs: jnp.ndarray
+    adj_vals: Optional[jnp.ndarray]
+    adj_ranks: Optional[jnp.ndarray]
+    ppr_nbrs: jnp.ndarray
+    ppr_vals: jnp.ndarray
+    ppr_flags: Optional[jnp.ndarray]
+
+
+def gather_link_rows(
+    adj_rows: PaddedRows,
+    ppr_rows: PaddedRows,
+    idx: jnp.ndarray,
+    with_ranks: bool = True,
+) -> LinkRows:
+    """Local (single-device) row gather for a node list [B]."""
+    return LinkRows(
+        adj_nbrs=adj_rows.nbrs[idx],
+        adj_vals=None if adj_rows.vals is None else adj_rows.vals[idx],
+        adj_ranks=(
+            None
+            if (adj_rows.ranks is None or not with_ranks)
+            else adj_rows.ranks[idx]
+        ),
+        ppr_nbrs=ppr_rows.nbrs[idx],
+        ppr_vals=ppr_rows.vals[idx],
+        ppr_flags=None if ppr_rows.flags is None else ppr_rows.flags[idx],
+    )
+
+
 def _compact(
     ids, cls_val, ps, pt, valid, budget: int, num_nodes: int
 ):
@@ -206,18 +260,43 @@ def extract_context(
     drop_rng: Optional[jax.Array] = None,
     train: bool = False,
 ) -> ContextTables:
-    n = adj_rows.num_nodes
+    """Single-device entry: gather each endpoint's rows locally, extract."""
+    return extract_context_rows(
+        gather_link_rows(adj_rows, ppr_rows, src,
+                         with_ranks=mask_ranks is not None),
+        gather_link_rows(adj_rows, ppr_rows, tgt,
+                         with_ranks=mask_ranks is not None),
+        cfg,
+        adj_rows.num_nodes,
+        mask_ranks=mask_ranks,
+        drop_rng=drop_rng,
+        train=train,
+    )
+
+
+def extract_context_rows(
+    rows_s: LinkRows,
+    rows_t: LinkRows,
+    cfg: ContextConfig,
+    num_nodes: int,
+    mask_ranks: Optional[jnp.ndarray] = None,
+    drop_rng: Optional[jax.Array] = None,
+    train: bool = False,
+) -> ContextTables:
+    """Context extraction over pre-gathered per-link rows (see module
+    docstring for the semantics; reference file:line cites inline)."""
+    n = num_nodes
     use_mask = mask_ranks is not None
 
-    a_n = adj_rows.nbrs[src]   # [B, A] neighbors of src (sorted, pad = n)
-    b_n = adj_rows.nbrs[tgt]   # [B, A] neighbors of tgt
+    a_n = rows_s.adj_nbrs   # [B, A] neighbors of src (sorted, pad = n)
+    b_n = rows_t.adj_nbrs   # [B, A] neighbors of tgt
 
     # --- CN / 1-hop classification over the union (reference :232-237),
     #     with per-batch positive-edge masking in edge-rank space
     #     (reference train_model.py:38-45) ---
     if use_mask:
-        ranks_a = adj_rows.ranks[src]        # rank of edge (src, v)
-        ranks_b = adj_rows.ranks[tgt]        # rank of edge (tgt, v)
+        ranks_a = rows_s.adj_ranks           # rank of edge (src, v)
+        ranks_b = rows_t.adj_ranks           # rank of edge (tgt, v)
         # membership + cross-edge rank in one fused compare-all pass
         a_in_tgt_raw, (rank_a_in_tgt,) = row_member_values(
             b_n, a_n, (ranks_b,), (jnp.int32(-1),)
@@ -246,14 +325,18 @@ def extract_context(
     # --- PPR value lookups (reference get_ppr_vals :279-319) ---
     # self-side values ppr(u, N(u)) are host-precomputed on the adjacency
     # rows; only the cross values need a per-batch lookup
-    if adj_rows.vals is not None:
-        ps_a = adj_rows.vals[src]
-        pt_b = adj_rows.vals[tgt]
+    def _lookup(rows: LinkRows, queries):
+        _, v = row_lookup(rows.ppr_nbrs, rows.ppr_vals, queries, 0.0)
+        return v
+
+    if rows_s.adj_vals is not None:
+        ps_a = rows_s.adj_vals
+        pt_b = rows_t.adj_vals
     else:
-        ps_a = _ppr_lookup(ppr_rows, src, a_n)
-        pt_b = _ppr_lookup(ppr_rows, tgt, b_n)
-    pt_a = _ppr_lookup(ppr_rows, tgt, a_n)
-    ps_b = _ppr_lookup(ppr_rows, src, b_n)
+        ps_a = _lookup(rows_s, a_n)
+        pt_b = _lookup(rows_t, b_n)
+    pt_a = _lookup(rows_t, a_n)
+    ps_b = _lookup(rows_s, b_n)
 
     # --- threshold filters (reference :241-250) ---
     thr_cn, thr_1h = cfg.thresh_cn, cfg.thresh_1hop
@@ -264,13 +347,13 @@ def extract_context(
 
     # --- >1-hop ("all" mode only; reference get_non_1hop_ppr :434-481) ---
     if cfg.mask_mode == "all":
-        p_n = ppr_rows.nbrs[src]          # [B, P] ppr support of src
-        ps_n = ppr_rows.vals[src]
-        pt_n = _ppr_lookup(ppr_rows, tgt, p_n)
+        p_n = rows_s.ppr_nbrs             # [B, P] ppr support of src
+        ps_n = rows_s.ppr_vals
+        pt_n = _lookup(rows_t, p_n)
         # UNMASKED adjacency on purpose (reference NOTE at :438-441);
         # "own support in own neighborhood" is host-precomputed
-        if ppr_rows.flags is not None:
-            in_a_raw = ppr_rows.flags[src]
+        if rows_s.ppr_flags is not None:
+            in_a_raw = rows_s.ppr_flags
         else:
             in_a_raw = row_contains(a_n, p_n)
         in_b_raw = row_contains(b_n, p_n)
@@ -314,7 +397,7 @@ def extract_context(
 
     # --- compaction to per-class budgets ---
     blocks = []
-    over = jnp.zeros(src.shape[0], dtype=jnp.int32)
+    over = jnp.zeros(a_n.shape[0], dtype=jnp.int32)
     c = _compact(a_n, jnp.int32(2), ps_a, pt_a, cn_a, cfg.budget_cn, n)
     blocks.append(c[:5])
     over += c[5]

@@ -73,6 +73,47 @@ def edge_ranks_for_csr(
     return edge_ranks_for_entries(src, dst, uniq_keys, csr.num_nodes)
 
 
+def link_edge_ranks(
+    adj_nbrs_s: jnp.ndarray,   # [B, A] src adjacency rows
+    adj_ranks_s: jnp.ndarray,  # [B, A] their edge ranks
+    tgt: jnp.ndarray,          # [B]
+    adj_nbrs_t: jnp.ndarray,   # [B, A] tgt adjacency rows
+    adj_ranks_t: jnp.ndarray,  # [B, A]
+    src: jnp.ndarray,          # [B]
+) -> jnp.ndarray:
+    """Device: int32 rank of each batch edge (src, tgt), recovered from
+    either direction's padded row: with a per-row cap a high-degree
+    endpoint may have dropped the entry, but it survives in the other
+    row unless BOTH endpoints overflow their caps. -2 when not found."""
+    _, rank_f = row_lookup(
+        adj_nbrs_s, adj_ranks_s, tgt[:, None].astype(jnp.int32), _NOT_FOUND
+    )
+    _, rank_b = row_lookup(
+        adj_nbrs_t, adj_ranks_t, src[:, None].astype(jnp.int32), _NOT_FOUND
+    )
+    return jnp.where(rank_f[:, 0] >= 0, rank_f[:, 0], rank_b[:, 0])
+
+
+def bitmap_from_link_ranks(
+    rank: jnp.ndarray,
+    multiplicities: jnp.ndarray,
+    weight: jnp.ndarray = None,
+) -> jnp.ndarray:
+    """Scatter per-link edge ranks into the [U] masked-rank bitmap: a
+    rank is masked iff the batch contains at least as many instances of
+    the edge as its train multiplicity (collab duplicate-edge semantics).
+
+    ``weight``: optional [B] per-link weights — zero-weight entries
+    (padding of a ragged last batch) are NOT counted."""
+    u = multiplicities.shape[0]
+    rank_c = jnp.clip(rank, 0, u - 1)
+    ones = (rank >= 0).astype(jnp.int32)
+    if weight is not None:
+        ones = ones * (weight > 0).astype(jnp.int32)
+    counts = jnp.zeros((u,), jnp.int32).at[rank_c].add(ones)
+    return counts >= multiplicities
+
+
 def batch_mask_ranks(
     adj_rows: PaddedRows,
     src: jnp.ndarray,
@@ -81,34 +122,13 @@ def batch_mask_ranks(
     weight: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Device: boolean bitmap [U] over edge ranks, True = masked for this
-    batch. A rank is masked iff the batch contains at least as many
-    instances of the edge as its train multiplicity.
-
-    ``weight``: optional [B] per-link weights — zero-weight entries
-    (padding of a ragged last batch) are NOT counted.
-
-    The rank is recovered from either direction's padded row (src's row
-    or tgt's row): with a per-row cap a high-degree endpoint may have
-    dropped the entry, but it survives in the other row unless BOTH
-    endpoints overflow their caps."""
+    batch (single-device entry: local row gathers + scatter)."""
     assert adj_rows.ranks is not None, "adjacency rows need rank side-array"
-    _, rank_f = row_lookup(
-        adj_rows.nbrs[src], adj_rows.ranks[src],
-        tgt[:, None].astype(jnp.int32), _NOT_FOUND,
+    rank = link_edge_ranks(
+        adj_rows.nbrs[src], adj_rows.ranks[src], tgt,
+        adj_rows.nbrs[tgt], adj_rows.ranks[tgt], src,
     )
-    _, rank_b = row_lookup(
-        adj_rows.nbrs[tgt], adj_rows.ranks[tgt],
-        src[:, None].astype(jnp.int32), _NOT_FOUND,
-    )
-    rank = jnp.where(rank_f[:, 0] >= 0, rank_f[:, 0], rank_b[:, 0])
-
-    u = multiplicities.shape[0]
-    rank_c = jnp.clip(rank, 0, u - 1)
-    ones = (rank >= 0).astype(jnp.int32)
-    if weight is not None:
-        ones = ones * (weight > 0).astype(jnp.int32)
-    counts = jnp.zeros((u,), jnp.int32).at[rank_c].add(ones)
-    return counts >= multiplicities
+    return bitmap_from_link_ranks(rank, multiplicities, weight)
 
 
 def rank_is_masked(

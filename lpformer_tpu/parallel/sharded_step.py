@@ -7,12 +7,24 @@ layer as new):
     transformed shard over 'graph' (ICI), runs its LOCAL edge block's
     gather + segment_sum, and psums partial row aggregates over 'data' —
     so the SpMM work is split across the entire mesh.
+  * Context state (adj/PPR padded rows): row-sharded over the FULL
+    flattened mesh — each device holds N/ndev rows, which is what makes
+    citation2-scale state (several GB of PPR rows) fit a 16 GB chip.
+    Per batch, each device's link endpoints' rows are fetched with:
+      all_gather(ids)             tiny [R] int32 exchange
+      owner-side gather           rows each device owns, zeros elsewhere
+      psum_scatter(payload)       every row has exactly ONE owner, so the
+                                  reduce-scatter delivers each device
+                                  precisely its own requested rows
+    The context extraction itself (ops/context.extract_context_rows)
+    then runs locally on the gathered [R, cap] tables.
   * Link loss: the (pos+neg) link batch is sharded over BOTH axes; the
     per-link context extraction and attention run locally against the
     all-gathered node encodings; scalar loss terms are psum'd.
-  * Batch-positive masking: the full batch is all-gathered (ids only,
-    tiny) so every device applies the same global masked-edge set —
-    exactly the single-device semantics.
+  * Batch-positive masking: each device recovers its local links' edge
+    ranks from the gathered rows; the ranks (tiny [B] int32) are
+    all-gathered so every device scatters the same global masked-rank
+    bitmap — exactly the single-device semantics.
   * Gradients of the replicated params come out of shard_map's transpose
     (the all-gathers transpose to reduce-scatters; loss psums make the
     scalar replicated), so jax.grad around the sharded loss yields
@@ -39,9 +51,63 @@ from lpformer_tpu.models import link_transformer as lt
 from lpformer_tpu.models.config import LPFormerConfig
 from lpformer_tpu.nn import core as nn
 from lpformer_tpu.ops import masking
-from lpformer_tpu.ops.context import extract_context
-from lpformer_tpu.parallel.partition import ShardedGraph
+from lpformer_tpu.ops.context import LinkRows, extract_context_rows
+from lpformer_tpu.ops.gather import gather_rows
+from lpformer_tpu.parallel.partition import ShardedGraph, sharded_graph_specs
 from lpformer_tpu.train.step import TrainState
+
+_AXES = ("data", "graph")   # flattened device order: data-major
+
+
+def _ctx_linear_index(g: int):
+    """Linear device index in the flattened (data, graph) order — the row
+    block this device owns in P(('data','graph'))-sharded arrays."""
+    return jax.lax.axis_index("data") * g + jax.lax.axis_index("graph")
+
+
+def _gather_ctx_rows(ids, arrays, rows_per: int, g: int):
+    """Fetch context-table rows for local request ``ids`` [R] from
+    row-sharded tables. ``arrays``: per-device shards [rows_per, K].
+    Returns one [R, K] array per input, holding the full rows.
+
+    Every row < num_nodes has exactly one owner, so summing the
+    owner-side gathers is exact delivery; psum_scatter returns each
+    device the slice corresponding to its own all_gathered block."""
+    ids_all = jax.lax.all_gather(ids, _AXES, axis=0, tiled=True)  # [ndev*R]
+    lo = _ctx_linear_index(g) * rows_per
+    local = ids_all - lo
+    owned = (local >= 0) & (local < rows_per)
+    local_c = jnp.clip(local, 0, rows_per - 1)
+    outs = []
+    for a in arrays:
+        if a is None:
+            outs.append(None)
+            continue
+        dt = a.dtype
+        if dt == jnp.bool_:
+            a = a.astype(jnp.int8)
+        contrib = jnp.where(owned[:, None], a[local_c], jnp.zeros((), a.dtype))
+        got = jax.lax.psum_scatter(
+            contrib, _AXES, scatter_dimension=0, tiled=True
+        )
+        outs.append(got.astype(dt) if dt == jnp.bool_ else got)
+    return outs
+
+
+def _gather_link_rows(sg_arrs, ids, rows_per: int, g: int, with_ranks: bool):
+    """LinkRows for local endpoint ids [R] via the collective row fetch.
+    ``sg_arrs``: (adj_nbrs, adj_vals, adj_ranks, ppr_nbrs, ppr_vals,
+    ppr_flags) local shards."""
+    a_nb, a_v, a_rk, p_nb, p_v, p_fl = sg_arrs
+    got = _gather_ctx_rows(
+        ids,
+        [a_nb, a_v, a_rk if with_ranks else None, p_nb, p_v, p_fl],
+        rows_per, g,
+    )
+    return LinkRows(
+        adj_nbrs=got[0], adj_vals=got[1], adj_ranks=got[2],
+        ppr_nbrs=got[3], ppr_vals=got[4], ppr_flags=got[5],
+    )
 
 
 def _gcn_sharded(
@@ -80,24 +146,70 @@ def _gcn_sharded(
     return x
 
 
+def _propagate_sharded(params, cfg, x_sh, es, ed, ew, diag_sh, rows_per,
+                       num_nodes, enc_rng, train):
+    feats = x_sh
+    if train and cfg.feat_drop > 0 and enc_rng is not None:
+        feats = nn.dropout(
+            jax.random.fold_in(enc_rng, 0), feats, cfg.feat_drop, train
+        )
+    X_shard = _gcn_sharded(
+        params["node_encoder"], cfg, feats, es, ed, ew, diag_sh,
+        rows_per, None if enc_rng is None else jax.random.fold_in(enc_rng, 1),
+        train,
+    )
+    X_shard = nn.layer_norm_apply(params["gnn_norm"], X_shard)
+    X_full = jax.lax.all_gather(X_shard, "graph", axis=0, tiled=True)
+    return X_full[:num_nodes]
+
+
+def _ctx_arrs(args):
+    """The six context-table shards out of the flat shard_map args."""
+    (adj_nbrs, adj_vals, adj_ranks, ppr_nbrs, ppr_vals, ppr_flags) = args
+    return adj_nbrs, adj_vals, adj_ranks, ppr_nbrs, ppr_vals, ppr_flags
+
+
+def _sg_in_specs():
+    s = sharded_graph_specs()
+    return (
+        s.x, s.edge_src, s.edge_dst_local, s.edge_w, s.diag,
+        s.adj_nbrs, s.adj_vals, s.adj_ranks,
+        s.ppr_nbrs, s.ppr_vals, s.ppr_flags,
+    )
+
+
+def _sg_args(sg: ShardedGraph):
+    return (
+        sg.x, sg.edge_src, sg.edge_dst_local, sg.edge_w, sg.diag,
+        sg.adj_nbrs, sg.adj_vals, sg.adj_ranks,
+        sg.ppr_nbrs, sg.ppr_vals, sg.ppr_flags,
+    )
+
+
 def make_sharded_loss(
     cfg: LPFormerConfig,
     mesh: Mesh,
     num_nodes: int,
     rows_per: int,
+    ctx_rows_per: int,
     train: bool = True,
 ):
-    """Returns loss(params, sg_arrays..., batches..., rng) -> scalar,
-    internally shard_mapped over the mesh."""
+    """Returns loss(params, sg, mult, psrc, ptgt, pw, nsrc, ntgt, nw, rng)
+    -> scalar, internally shard_mapped over the mesh."""
+    g_axis = mesh.shape["graph"]
 
     def inner(
         params,
-        x_sh, es, ed, ew, diag_sh,      # sharded graph arrays
-        adj_rows, ppr_rows, mult,       # replicated context state
+        x_sh, es, ed, ew, diag_sh,      # propagation shards
+        adj_nbrs, adj_vals, adj_ranks,  # context row shards
+        ppr_nbrs, ppr_vals, ppr_flags,
+        mult,                           # replicated [U]
         psrc, ptgt, pw, nsrc, ntgt, nw,  # link shards
         rng,
     ):
         es, ed, ew = es[0, 0], ed[0, 0], ew[0, 0]
+        ctx_arrs = (adj_nbrs, adj_vals, adj_ranks,
+                    ppr_nbrs, ppr_vals, ppr_flags)
         didx = jax.lax.axis_index("data")
         gidx = jax.lax.axis_index("graph")
         # Encoder dropout must be IDENTICAL across the 'data' axis: the
@@ -111,39 +223,51 @@ def make_sharded_loss(
         )
 
         # ---- propagate (sharded GCN + final LN) ----
-        feats = x_sh
-        if train and cfg.feat_drop > 0:
-            feats = nn.dropout(
-                jax.random.fold_in(enc_rng, 0), feats, cfg.feat_drop, train
-            )
-        X_shard = _gcn_sharded(
-            params["node_encoder"], cfg, feats, es, ed, ew, diag_sh,
-            rows_per, jax.random.fold_in(enc_rng, 1), train,
+        X_full = _propagate_sharded(
+            params, cfg, x_sh, es, ed, ew, diag_sh, rows_per, num_nodes,
+            enc_rng if train else None, train,
         )
-        X_shard = nn.layer_norm_apply(params["gnn_norm"], X_shard)
-        X_full = jax.lax.all_gather(X_shard, "graph", axis=0, tiled=True)
-        X_full = X_full[:num_nodes]
+
+        # ---- context rows for this device's links (collective fetch) ----
+        bl = psrc.shape[0]
+        pos_ids = jnp.concatenate([psrc, ptgt])
+        neg_ids = jnp.concatenate([nsrc, ntgt])
+        pos_rows = _gather_link_rows(
+            ctx_arrs, pos_ids, ctx_rows_per, g_axis, with_ranks=True
+        )
+        neg_rows = _gather_link_rows(
+            ctx_arrs, neg_ids, ctx_rows_per, g_axis, with_ranks=False
+        )
+
+        def split(rows: LinkRows, b):
+            take = lambda a, sl: None if a is None else a[sl]  # noqa: E731
+            lo, hi = slice(0, b), slice(b, 2 * b)
+            return (
+                LinkRows(*(take(getattr(rows, f.name), lo)
+                           for f in rows.__dataclass_fields__.values())),
+                LinkRows(*(take(getattr(rows, f.name), hi)
+                           for f in rows.__dataclass_fields__.values())),
+            )
+
+        ps_rows, pt_rows = split(pos_rows, bl)
+        ns_rows, nt_rows = split(neg_rows, nsrc.shape[0])
 
         # ---- global batch mask (reference masks ALL batch positives) ----
-        g_src = jax.lax.all_gather(
-            jax.lax.all_gather(psrc, "graph", axis=0, tiled=True),
-            "data", axis=0, tiled=True,
+        rank_loc = masking.link_edge_ranks(
+            ps_rows.adj_nbrs, ps_rows.adj_ranks, ptgt,
+            pt_rows.adj_nbrs, pt_rows.adj_ranks, psrc,
         )
-        g_tgt = jax.lax.all_gather(
-            jax.lax.all_gather(ptgt, "graph", axis=0, tiled=True),
-            "data", axis=0, tiled=True,
-        )
-        mask_ranks = masking.batch_mask_ranks(adj_rows, g_src, g_tgt, mult)
+        rank_all = jax.lax.all_gather(rank_loc, _AXES, axis=0, tiled=True)
+        w_all = jax.lax.all_gather(pw, _AXES, axis=0, tiled=True)
+        mask_ranks = masking.bitmap_from_link_ranks(rank_all, mult, w_all)
 
-        def link_scores(src, tgt, ranks, tag):
+        def link_scores(src, tgt, rows_s, rows_t, ranks, tag):
             r = jax.random.fold_in(dev_rng, tag)
-            ctx = extract_context(
-                adj_rows, ppr_rows, src, tgt, cfg.context,
+            ctx = extract_context_rows(
+                rows_s, rows_t, cfg.context, num_nodes,
                 mask_ranks=ranks,
                 drop_rng=jax.random.fold_in(r, 2), train=train,
             )
-            from lpformer_tpu.ops.gather import gather_rows
-
             elementwise = nn.mlp_apply(
                 params["elementwise_lin"],
                 gather_rows(X_full, src) * gather_rows(X_full, tgt),
@@ -157,16 +281,15 @@ def make_sharded_loss(
                 params, cfg, h, rng=jax.random.fold_in(r, 4), train=train
             )
 
-        pos_out = link_scores(psrc, ptgt, mask_ranks, 10)
-        neg_out = link_scores(nsrc, ntgt, None, 11)
+        pos_out = link_scores(psrc, ptgt, ps_rows, pt_rows, mask_ranks, 10)
+        neg_out = link_scores(nsrc, ntgt, ns_rows, nt_rows, None, 11)
 
         pos_sum = jnp.sum(jnp.log(pos_out + 1e-6) * pw)
         neg_sum = jnp.sum(jnp.log(1.0 - neg_out + 1e-6) * nw)
         pos_cnt = jnp.sum(pw)
         neg_cnt = jnp.sum(nw)
         tot = jax.lax.psum(
-            jnp.stack([pos_sum, neg_sum, pos_cnt, neg_cnt]),
-            ("data", "graph"),
+            jnp.stack([pos_sum, neg_sum, pos_cnt, neg_cnt]), _AXES
         )
         return -(tot[0] / jnp.maximum(tot[2], 1.0)) - (
             tot[1] / jnp.maximum(tot[3], 1.0)
@@ -176,20 +299,11 @@ def make_sharded_loss(
         inner,
         mesh=mesh,
         in_specs=(
-            P(),                                   # params
-            P("graph", None),                      # x rows
-            P("graph", "data", None),              # edge blocks
-            P("graph", "data", None),
-            P("graph", "data", None),
-            P("graph"),                            # diag rows
-            P(), P(), P(),                         # adj/ppr rows, mult
-            P(("data", "graph")),                  # pos src
-            P(("data", "graph")),
-            P(("data", "graph")),
-            P(("data", "graph")),                  # neg src
-            P(("data", "graph")),
-            P(("data", "graph")),
-            P(),                                   # rng
+            (P(),)                                 # params
+            + _sg_in_specs()
+            + (P(),)                               # mult
+            + (P(_AXES),) * 6                      # link shards
+            + (P(),)                               # rng
         ),
         out_specs=P(),
         check_vma=False,
@@ -198,39 +312,68 @@ def make_sharded_loss(
     def loss_fn(params, sg: ShardedGraph, mult, psrc, ptgt, pw,
                 nsrc, ntgt, nw, rng):
         return sharded(
-            params, sg.x, sg.edge_src, sg.edge_dst_local, sg.edge_w,
-            sg.diag, sg.adj_rows, sg.ppr_rows, mult,
+            params, *_sg_args(sg), mult,
             psrc, ptgt, pw, nsrc, ntgt, nw, rng,
         )
 
     return loss_fn
 
 
-def make_sharded_score(
-    cfg: LPFormerConfig,
-    mesh: Mesh,
-    num_nodes: int,
-    rows_per: int,
+def make_sharded_propagate(
+    cfg: LPFormerConfig, mesh: Mesh, num_nodes: int, rows_per: int
 ):
-    """Sharded eval scorer: (params, sg, src, tgt) -> scores [B].
-    Propagation is graph-sharded; the link batch is sharded over the full
-    mesh; no masking, no dropout (eval semantics)."""
+    """Eval-mode sharded propagation: (params, sg) -> X_full [N, dim]
+    (replicated). Used by the propagate-once eval flows
+    (reference: src/train/testing.py:50-74)."""
 
-    def inner(params, x_sh, es, ed, ew, diag_sh, adj_rows, ppr_rows,
-              src, tgt):
+    def inner(params, x_sh, es, ed, ew, diag_sh, *_unused):
         es, ed, ew = es[0, 0], ed[0, 0], ew[0, 0]
-        X_shard = _gcn_sharded(
-            params["node_encoder"], cfg, x_sh, es, ed, ew, diag_sh,
-            rows_per, None, False,
+        return _propagate_sharded(
+            params, cfg, x_sh, es, ed, ew, diag_sh, rows_per, num_nodes,
+            None, False,
         )
-        X_shard = nn.layer_norm_apply(params["gnn_norm"], X_shard)
-        X_full = jax.lax.all_gather(X_shard, "graph", axis=0, tiled=True)
-        X_full = X_full[:num_nodes]
 
-        from lpformer_tpu.ops.gather import gather_rows
+    sharded = shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(P(),) + _sg_in_specs(),
+        out_specs=P(),
+        check_vma=False,
+    )
 
-        ctx = extract_context(
-            adj_rows, ppr_rows, src, tgt, cfg.context, train=False
+    @jax.jit
+    def prop(params, sg: ShardedGraph):
+        return sharded(params, *_sg_args(sg))
+
+    return prop
+
+
+def make_sharded_score_with_X(
+    cfg: LPFormerConfig, mesh: Mesh, num_nodes: int, ctx_rows_per: int
+):
+    """Sharded scorer reusing a propagated X_full:
+    (params, sg, X_full, src, tgt) -> scores [B]. The link batch is
+    sharded over the full mesh; context rows are fetched collectively;
+    no masking, no dropout (eval semantics)."""
+    g_axis = mesh.shape["graph"]
+
+    def inner(params, X_full,
+              adj_nbrs, adj_vals, adj_ranks, ppr_nbrs, ppr_vals, ppr_flags,
+              src, tgt):
+        ctx_arrs = (adj_nbrs, adj_vals, adj_ranks,
+                    ppr_nbrs, ppr_vals, ppr_flags)
+        b = src.shape[0]
+        rows = _gather_link_rows(
+            ctx_arrs, jnp.concatenate([src, tgt]), ctx_rows_per, g_axis,
+            with_ranks=False,
+        )
+        take = lambda a, sl: None if a is None else a[sl]  # noqa: E731
+        rows_s = LinkRows(*(take(getattr(rows, f.name), slice(0, b))
+                            for f in rows.__dataclass_fields__.values()))
+        rows_t = LinkRows(*(take(getattr(rows, f.name), slice(b, 2 * b))
+                            for f in rows.__dataclass_fields__.values()))
+        ctx = extract_context_rows(
+            rows_s, rows_t, cfg.context, num_nodes, train=False
         )
         elementwise = nn.mlp_apply(
             params["elementwise_lin"],
@@ -242,30 +385,47 @@ def make_sharded_score(
         h = jnp.concatenate([elementwise, pairwise], axis=-1)
         return lt.score_links(params, cfg, h, train=False)
 
+    s = sharded_graph_specs()
     sharded = shard_map(
         inner,
         mesh=mesh,
         in_specs=(
-            P(),
-            P("graph", None),
-            P("graph", "data", None),
-            P("graph", "data", None),
-            P("graph", "data", None),
-            P("graph"),
             P(), P(),
-            P(("data", "graph")),
-            P(("data", "graph")),
+            s.adj_nbrs, s.adj_vals, s.adj_ranks,
+            s.ppr_nbrs, s.ppr_vals, s.ppr_flags,
+            P(_AXES), P(_AXES),
         ),
-        out_specs=P(("data", "graph")),
+        out_specs=P(_AXES),
         check_vma=False,
     )
 
     @jax.jit
-    def score(params, sg: ShardedGraph, src, tgt):
+    def score(params, sg: ShardedGraph, X_full, src, tgt):
         return sharded(
-            params, sg.x, sg.edge_src, sg.edge_dst_local, sg.edge_w,
-            sg.diag, sg.adj_rows, sg.ppr_rows, src, tgt,
+            params, X_full,
+            sg.adj_nbrs, sg.adj_vals, sg.adj_ranks,
+            sg.ppr_nbrs, sg.ppr_vals, sg.ppr_flags,
+            src, tgt,
         )
+
+    return score
+
+
+def make_sharded_score(
+    cfg: LPFormerConfig,
+    mesh: Mesh,
+    num_nodes: int,
+    rows_per: int,
+    ctx_rows_per: int,
+):
+    """One-call sharded eval scorer: (params, sg, src, tgt) -> scores [B]
+    (propagates internally; for eval sweeps prefer make_sharded_propagate
+    + make_sharded_score_with_X to propagate once)."""
+    prop = make_sharded_propagate(cfg, mesh, num_nodes, rows_per)
+    score_x = make_sharded_score_with_X(cfg, mesh, num_nodes, ctx_rows_per)
+
+    def score(params, sg: ShardedGraph, src, tgt):
+        return score_x(params, sg, prop(params, sg), src, tgt)
 
     return score
 
@@ -276,9 +436,12 @@ def make_sharded_train_step(
     mesh: Mesh,
     num_nodes: int,
     rows_per: int,
+    ctx_rows_per: int,
     num_negative: int = 1,
 ):
-    loss_fn = make_sharded_loss(cfg, mesh, num_nodes, rows_per, train=True)
+    loss_fn = make_sharded_loss(
+        cfg, mesh, num_nodes, rows_per, ctx_rows_per, train=True
+    )
 
     def step(state: TrainState, sg: ShardedGraph, mult, src, tgt, w, rng):
         rng_step = jax.random.fold_in(rng, state.step)

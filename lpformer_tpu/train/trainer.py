@@ -55,6 +55,7 @@ class TrainArgs:
     double_propagate: bool = True
     resume: Optional[str] = None   # checkpoint path to resume training from
     grad_accum: int = 1            # micro-batches per optimizer step
+    mesh: Optional[str] = None     # "D,G" (data x graph) — train over a mesh
 
 
 def _iter_batches(rng: np.random.Generator, n: int, batch_size: int):
@@ -72,19 +73,32 @@ def _iter_batches(rng: np.random.Generator, n: int, batch_size: int):
 
 
 def run_eval(
-    params, cfg: cfg_mod.LPFormerConfig, ds: LinkPredDataset, args: TrainArgs
+    params, cfg: cfg_mod.LPFormerConfig, ds: LinkPredDataset,
+    args: TrainArgs, sharded=None,
 ) -> Dict[str, tuple]:
-    """Dispatch to the right harness (reference train_model.py:114-117)."""
+    """Dispatch to the right harness (reference train_model.py:114-117).
+    ``sharded``: optional ShardedEvalContext — scores over the mesh."""
     if "citation" in ds.name.lower() and not ds.heart:
         return harness.test_citation2(
-            params, cfg, ds, batch_size=args.test_batch_size
+            params, cfg, ds, batch_size=args.test_batch_size,
+            sharded=sharded,
         )
     return harness.test_standard(
         params, cfg, ds,
         batch_size=args.test_batch_size,
         k_list=(20, 50, 100),
         heart=ds.heart,
+        sharded=sharded,
     )
+
+
+def parse_mesh(spec: str):
+    """'D,G' -> (d, g); 'auto' -> all devices on the data axis."""
+    if spec == "auto":
+        return len(jax.devices()), 1
+    parts = spec.split(",")
+    assert len(parts) == 2, f"--mesh expects 'D,G' or 'auto', got {spec!r}"
+    return int(parts[0]), int(parts[1])
 
 
 def train_loop(
@@ -134,18 +148,59 @@ def train_loop(
         start_epoch = int(blob["epoch"]) + 1
         if args.verbose:
             print(f"resumed from {args.resume} at epoch {start_epoch}")
-    train_step = step_mod.make_train_step(
-        cfg, optimizer,
-        num_negative=args.num_negative,
-        mask_input=args.mask_input,
-        double_propagate=args.double_propagate,
-        grad_accum=args.grad_accum,
-    )
-
     mult = ds.mask_mult_device
-    bin_w = (ds.graph.edge_w > 0).astype(jnp.float32)
     data_rng = np.random.default_rng(rng_seed)
     step_key = jax.random.fold_in(key, 1234)
+
+    eval_ctx = None
+    if args.mesh:
+        # First-class mesh training: context state row-sharded over the
+        # full mesh, link batches sharded over both axes, eval scored
+        # through the same mesh (SURVEY §2.4; the reference has no
+        # parallelism of any kind).
+        from lpformer_tpu.parallel import (
+            make_mesh, make_sharded_train_step, partition_graph,
+            place_sharded_graph,
+        )
+        from lpformer_tpu.parallel.eval import ShardedEvalContext
+
+        if args.mask_input:
+            raise ValueError("--mask-input is not supported with --mesh")
+        if args.grad_accum > 1:
+            raise ValueError("--grad-accum is not supported with --mesh")
+        d, g = parse_mesh(args.mesh)
+        ndev = d * g
+        assert args.batch_size % ndev == 0, (
+            f"batch_size {args.batch_size} must divide over {ndev} devices"
+        )
+        assert args.test_batch_size % ndev == 0, (
+            f"test_batch_size {args.test_batch_size} must divide over "
+            f"{ndev} devices"
+        )
+        mesh = make_mesh(data=d, graph=g, devices=jax.devices()[:ndev])
+        sg = place_sharded_graph(partition_graph(ds.graph, g=g, d=d), mesh)
+        eval_ctx = ShardedEvalContext(cfg, mesh, ds, sg_train=sg)
+        sharded_step = make_sharded_train_step(
+            cfg, optimizer, mesh, ds.num_nodes, sg.rows_per_shard,
+            sg.ctx_rows_per_shard, num_negative=args.num_negative,
+        )
+
+        def step_call(state, src, tgt, w):
+            return sharded_step(state, sg, mult, src, tgt, w, step_key)
+    else:
+        train_step = step_mod.make_train_step(
+            cfg, optimizer,
+            num_negative=args.num_negative,
+            mask_input=args.mask_input,
+            double_propagate=args.double_propagate,
+            grad_accum=args.grad_accum,
+        )
+        bin_w = (ds.graph.edge_w > 0).astype(jnp.float32)
+
+        def step_call(state, src, tgt, w):
+            return train_step(
+                state, ds.graph, mult, bin_w, src, tgt, w, step_key
+            )
 
     best_valid, kill_cnt = 0.0, 0
     train_pos = np.asarray(ds.train_pos)
@@ -160,10 +215,7 @@ def train_loop(
         for idx, w in _iter_batches(data_rng, len(train_pos), args.batch_size):
             src = jnp.asarray(train_pos[idx, 0])
             tgt = jnp.asarray(train_pos[idx, 1])
-            state, loss = train_step(
-                state, ds.graph, mult, bin_w, src, tgt, jnp.asarray(w),
-                step_key,
-            )
+            state, loss = step_call(state, src, tgt, jnp.asarray(w))
             n_real = float(w.sum())
             total_loss = total_loss + loss * n_real
             total_examples += n_real
@@ -175,7 +227,7 @@ def train_loop(
             )
 
         if epoch % args.eval_steps == 0:
-            results = run_eval(state.params, cfg, ds, args)
+            results = run_eval(state.params, cfg, ds, args, sharded=eval_ctx)
             for key_name, result in results.items():
                 if key_name in loggers:
                     loggers[key_name].add_result(seed, result)

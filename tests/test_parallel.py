@@ -1,7 +1,10 @@
 """Multi-device sharding tests on the 8-virtual-CPU mesh.
 
 Partition invariance: the sharded loss/grads over (data x graph) meshes
-must match the single-device loss/grads (dropout off).
+must match the single-device loss/grads (dropout off). The context
+state (adj/PPR rows) is row-sharded over the FULL mesh and fetched per
+batch with all_gather + psum_scatter — these tests are what certify the
+collective row exchange delivers exactly the single-device semantics.
 """
 import jax
 import jax.numpy as jnp
@@ -13,8 +16,11 @@ from lpformer_tpu.models import LPFormerConfig, init_lpformer
 from lpformer_tpu.parallel import (
     make_mesh,
     make_sharded_loss,
+    make_sharded_propagate,
+    make_sharded_score,
     make_sharded_train_step,
     partition_graph,
+    place_sharded_graph,
 )
 from lpformer_tpu.train import make_optimizer
 from lpformer_tpu.train.step import TrainState, loss_fn as single_loss_fn
@@ -49,6 +55,64 @@ def _single_device_loss(ds, cfg, params, src, tgt, neg, w, rng):
     )
 
 
+def test_collective_row_gather_roundtrip():
+    """all_gather + owner-gather + psum_scatter must deliver each device
+    exactly the rows its own ids request (the all_gather concatenation
+    and psum_scatter scatter orders must agree on the flattened
+    (data, graph) device order)."""
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    from lpformer_tpu.parallel.sharded_step import _gather_ctx_rows
+
+    d, g = 2, 4
+    ndev = d * g
+    mesh = make_mesh(data=d, graph=g, devices=jax.devices()[:ndev])
+    n, rows_per, k = 61, 8, 5          # 61 rows padded to 64 = 8 per dev
+    table = jnp.arange(64 * k, dtype=jnp.int32).reshape(64, k)
+    flags = (table % 3 == 0)[:, :k].astype(bool)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, n, size=ndev * 6).astype(np.int32))
+
+    def inner(table, flags, ids):
+        got_t, got_f = _gather_ctx_rows(ids, [table, flags], rows_per, g)
+        return got_t, got_f
+
+    got_t, got_f = jax.jit(shard_map(
+        inner, mesh=mesh,
+        in_specs=(P(("data", "graph"), None), P(("data", "graph"), None),
+                  P(("data", "graph"))),
+        out_specs=(P(("data", "graph"), None), P(("data", "graph"), None)),
+        check_vma=False,
+    ))(table, flags, ids)
+    np.testing.assert_array_equal(np.asarray(got_t), np.asarray(table)[ids])
+    np.testing.assert_array_equal(np.asarray(got_f), np.asarray(flags)[ids])
+    assert got_f.dtype == jnp.bool_
+
+
+def test_context_state_is_row_sharded():
+    """Per-device context state must shrink ~1/ndev (the citation2
+    memory fix): the sharded tables' addressable shards hold
+    ctx_rows_per_shard rows each, not N."""
+    ds, *_ = _setup()
+    d, g = 2, 4
+    mesh = make_mesh(data=d, graph=g, devices=jax.devices()[: d * g])
+    sg = place_sharded_graph(partition_graph(ds.graph, g=g, d=d), mesh)
+    ndev = d * g
+    assert sg.ctx_rows_per_shard * ndev >= ds.num_nodes
+    assert sg.adj_nbrs.shape[0] == sg.ctx_rows_per_shard * ndev
+    for arr in (sg.adj_nbrs, sg.ppr_nbrs, sg.ppr_vals):
+        shards = arr.addressable_shards
+        assert len(shards) == ndev
+        for s in shards:
+            assert s.data.shape[0] == sg.ctx_rows_per_shard, (
+                f"shard holds {s.data.shape[0]} rows, expected "
+                f"{sg.ctx_rows_per_shard} (state not row-sharded!)"
+            )
+
+
 @pytest.mark.parametrize("d,g", [(2, 4), (4, 2), (8, 1), (1, 8)])
 def test_sharded_loss_matches_single_device(d, g):
     assert len(jax.devices()) >= 8, "conftest must provide 8 cpu devices"
@@ -59,7 +123,7 @@ def test_sharded_loss_matches_single_device(d, g):
     sg = partition_graph(ds.graph, g=g, d=d)
     loss = jax.jit(
         make_sharded_loss(cfg, mesh, ds.num_nodes, sg.rows_per_shard,
-                          train=True)
+                          sg.ctx_rows_per_shard, train=True)
     )
     got = float(
         loss(params, sg, ds.mask_mult_device, src, tgt, w,
@@ -77,7 +141,7 @@ def test_sharded_grads_match_single_device():
     mesh = make_mesh(data=2, graph=4)
     sg = partition_graph(ds.graph, g=4, d=2)
     loss = make_sharded_loss(cfg, mesh, ds.num_nodes, sg.rows_per_shard,
-                             train=True)
+                             sg.ctx_rows_per_shard, train=True)
     g_shard = jax.jit(jax.grad(
         lambda p: loss(p, sg, ds.mask_mult_device, src, tgt, w,
                        neg[0], neg[1], w, rng)
@@ -95,11 +159,12 @@ def test_sharded_grads_match_single_device():
 def test_sharded_train_step_runs_and_descends():
     ds, cfg, params, src, tgt, neg, w, rng = _setup()
     mesh = make_mesh(data=2, graph=4)
-    sg = partition_graph(ds.graph, g=4, d=2)
+    sg = place_sharded_graph(partition_graph(ds.graph, g=4, d=2), mesh)
     opt = make_optimizer(5e-3, steps_per_epoch=1)
     state = TrainState(params, opt.init(params), jnp.asarray(0, jnp.int32))
     step = make_sharded_train_step(
-        cfg, opt, mesh, ds.num_nodes, sg.rows_per_shard
+        cfg, opt, mesh, ds.num_nodes, sg.rows_per_shard,
+        sg.ctx_rows_per_shard,
     )
     losses = []
     for _ in range(4):
@@ -124,7 +189,7 @@ def test_encoder_dropout_invariant_to_data_axis():
         sg = partition_graph(ds.graph, g=g, d=d)
         loss = jax.jit(
             make_sharded_loss(cfg, mesh, ds.num_nodes, sg.rows_per_shard,
-                              train=True)
+                              sg.ctx_rows_per_shard, train=True)
         )
         losses[(d, g)] = float(
             loss(params, sg, ds.mask_mult_device, src, tgt, w,
@@ -134,7 +199,6 @@ def test_encoder_dropout_invariant_to_data_axis():
 
 
 def test_sharded_eval_matches_single_device():
-    from lpformer_tpu.parallel import make_sharded_score
     from lpformer_tpu.models import forward as fwd, score_links
 
     ds, cfg, params, src, tgt, neg, w, rng = _setup()
@@ -142,7 +206,60 @@ def test_sharded_eval_matches_single_device():
     want = np.asarray(score_links(params, cfg, h, train=False))
 
     mesh = make_mesh(data=2, graph=4)
-    sg = partition_graph(ds.graph, g=4, d=2)
-    score = make_sharded_score(cfg, mesh, ds.num_nodes, sg.rows_per_shard)
+    sg = place_sharded_graph(partition_graph(ds.graph, g=4, d=2), mesh)
+    score = make_sharded_score(
+        cfg, mesh, ds.num_nodes, sg.rows_per_shard, sg.ctx_rows_per_shard
+    )
     got = np.asarray(score(params, sg, src, tgt))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_propagate_once_reuse():
+    """make_sharded_propagate + make_sharded_score_with_X == one-call
+    scorer (the propagate-once eval path)."""
+    from lpformer_tpu.parallel import make_sharded_score_with_X
+
+    ds, cfg, params, src, tgt, neg, w, rng = _setup()
+    mesh = make_mesh(data=2, graph=4)
+    sg = place_sharded_graph(partition_graph(ds.graph, g=4, d=2), mesh)
+    prop = make_sharded_propagate(cfg, mesh, ds.num_nodes, sg.rows_per_shard)
+    score_x = make_sharded_score_with_X(
+        cfg, mesh, ds.num_nodes, sg.ctx_rows_per_shard
+    )
+    X = prop(params, sg)
+    got = np.asarray(score_x(params, sg, X, src, tgt))
+    one_call = make_sharded_score(
+        cfg, mesh, ds.num_nodes, sg.rows_per_shard, sg.ctx_rows_per_shard
+    )
+    want = np.asarray(one_call(params, sg, src, tgt))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+def test_trainer_mesh_path_end_to_end():
+    """train_loop with TrainArgs.mesh='2,4' must run epochs + sharded
+    eval; run_eval over the mesh must match single-device run_eval on
+    the same params."""
+    from lpformer_tpu.train.trainer import TrainArgs, run_eval, train_loop
+    from lpformer_tpu.parallel.eval import ShardedEvalContext
+    from lpformer_tpu.utils.logger import ResultsLogger
+
+    ds, cfg, params, src, tgt, neg, w, rng = _setup()
+    args = TrainArgs(
+        epochs=2, eval_steps=1, batch_size=32, test_batch_size=64,
+        metric="MRR", verbose=False, mesh="2,4", lr=5e-3,
+    )
+    loggers = {
+        "Hits@20": ResultsLogger(1), "Hits@50": ResultsLogger(1),
+        "Hits@100": ResultsLogger(1), "MRR": ResultsLogger(1),
+    }
+    best = train_loop(args, cfg, ds, loggers, seed=0)
+    assert best > 0.0
+
+    # eval parity: mesh vs single device on identical params
+    mesh = make_mesh(data=2, graph=4)
+    ctx = ShardedEvalContext(cfg, mesh, ds)
+    got = run_eval(params, cfg, ds, args, sharded=ctx)
+    want = run_eval(params, cfg, ds, args, sharded=None)
+    for k in want:
+        for a, b in zip(got[k], want[k]):
+            assert abs(a - b) < 2e-3, (k, got[k], want[k])
