@@ -193,7 +193,10 @@ def _att_layer_apply(
     e1 = nn.linear_apply(lp["lin_l"], edge_x[:, :half], cfg.mm_dtype)
     e2 = nn.linear_apply(lp["lin_l"], edge_x[:, half:], cfg.mm_dtype)
 
-    if cfg.use_pallas_attention and not train and not return_weights:
+    if cfg.use_pallas_attention and h == 1 and not return_weights:
+        # Fused flash-style kernel, train and eval: its custom VJP
+        # re-streams the context tiles, so [B, C, H*O] activations never
+        # hit HBM in either direction.
         from lpformer_tpu.ops.pallas import fused_link_attention
 
         out = fused_link_attention(
@@ -203,6 +206,8 @@ def _att_layer_apply(
             interpret=jax.default_backend() != "tpu",
         )
         out = nn.layer_norm_apply(lp["post_norm"], out)
+        if train and cfg.dropout > 0 and rng is not None:
+            out = nn.dropout(rng, out, cfg.dropout, train)
         return out, None
 
     xj = nn.linear_apply(lp["lin_r"], keys_in, cfg.mm_dtype)  # [B, C, H*O]

@@ -1,6 +1,6 @@
-"""Pallas TPU kernel: fused per-link context attention.
+"""Pallas TPU kernels: fused per-link context attention, forward + backward.
 
-Replaces the XLA sequence
+Replaces the XLA sequence (reference: src/modules/layers.py:193-224)
   xj = keys @ W_r ; z = leaky_relu(xj * q) ; logits = z . att ;
   alpha = masked_softmax(logits) ; out = sum_C alpha * xj
 with one kernel that streams the context axis as a grid dimension with
@@ -10,8 +10,18 @@ the keys on the MXU, score on the VPU, and fold into running
 [B, C, H*O] transformed-keys tensor never exists in HBM and only one
 tile of it ever exists in VMEM.
 
-Used on the eval path (train path keeps the XLA composition, whose
-backward is already structured); falls back to interpret mode off-TPU.
+The backward is the flash-attention two-pass recipe adapted to the
+GATv2 scoring function: the forward saves only the per-row softmax
+stats (running max m and denominator l); the backward re-streams the
+same C tiles, recomputes xj/alpha per tile, and accumulates
+dkeys/dq/dW/db/datt in VMEM — so training also never materializes
+[B, C, H*O] in HBM (kills the transient-dot memory pressure that
+forces remat+grad-accum on ddi-like shapes; reference needs a >32GB
+GPU there, README.md:42).
+
+Both kernels are specialized for num_heads == 1 (every published config,
+scripts/replicate_*.sh): all tensors stay 2-D, which keeps Mosaic's
+sublane/lane tiling happy. Falls back to interpret mode off-TPU.
 """
 from __future__ import annotations
 
@@ -25,10 +35,13 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -1e30
 
 
-def _kernel(keys_ref, q_ref, valid_ref, w_ref, rbias_ref, att_ref,
-            bias_ref, out_ref, m_ref, l_ref, acc_ref, *, heads: int):
-    """Specialized for heads == 1 (every published config): all tensors
-    stay 2-D, which keeps Mosaic's sublane/lane tiling happy."""
+# --------------------------------------------------------------------------
+# forward kernel
+# --------------------------------------------------------------------------
+
+def _fwd_kernel(keys_ref, q_ref, valid_ref, w_ref, rbias_ref, att_ref,
+                bias_ref, out_ref, m_out_ref, l_out_ref,
+                m_ref, l_ref, acc_ref):
     bb, ct, dk = keys_ref.shape
     ho = w_ref.shape[1]
     j = pl.program_id(1)
@@ -69,42 +82,22 @@ def _kernel(keys_ref, q_ref, valid_ref, w_ref, rbias_ref, att_ref,
     def _():
         denom = jnp.maximum(l_ref[:][:, :1], 1e-16)
         out_ref[:] = acc_ref[:] / denom + bias_ref[:][None]
+        m_out_ref[:] = m_ref[:]
+        l_out_ref[:] = l_ref[:]
 
 
-
-
-@functools.partial(jax.jit, static_argnames=("heads", "block_b", "interpret"))
-def fused_link_attention(
-    keys: jnp.ndarray,    # [B, C, Dk] = [node feats ‖ pe]
-    q: jnp.ndarray,       # [B, H*O]   = lin_l(e1) + lin_l(e2)
-    valid: jnp.ndarray,   # [B, C] bool
-    w_r: jnp.ndarray,     # [Dk, H*O]
-    r_bias: jnp.ndarray,  # [H*O]   lin_r bias
-    att: jnp.ndarray,     # [H, O]
-    bias: jnp.ndarray,    # [H*O]   output bias
-    heads: int = 1,
-    block_b: int = 0,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    assert heads == 1, "fused TPU kernel is specialized for num_heads == 1"
+def _fwd_call(keys, q, valid_f, w_r, r_bias, att, bias,
+              block_b, c_tile, interpret):
     b, c, dk = keys.shape
     ho = w_r.shape[1]
-    if block_b <= 0:
-        block_b = 8
-        while b % block_b != 0 and block_b > 1:
-            block_b //= 2
-    # lane-dim tiling wants C tiles of 128: pad the context axis with
-    # invalid entries (masked out of the softmax)
-    c_tile = min(128, c) if c % 128 == 0 or c < 128 else 128
-    c_pad = -(-c // c_tile) * c_tile
-    if c_pad != c:
-        keys = jnp.pad(keys, ((0, 0), (0, c_pad - c), (0, 0)))
-        valid = jnp.pad(valid, ((0, 0), (0, c_pad - c)))
-        c = c_pad
     grid = (b // block_b, c // c_tile)
     return pl.pallas_call(
-        functools.partial(_kernel, heads=heads),
-        out_shape=jax.ShapeDtypeStruct((b, ho), jnp.float32),
+        _fwd_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, ho), jnp.float32),
+            jax.ShapeDtypeStruct((b, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, 128), jnp.float32),
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_b, c_tile, dk), lambda i, j: (i, j, 0),
@@ -120,12 +113,213 @@ def fused_link_attention(
                          lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((ho,), lambda i, j: (0,), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_b, ho), lambda i, j: (i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=(
+            pl.BlockSpec((block_b, ho), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 128), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 128), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
         scratch_shapes=[
             pltpu.VMEM((block_b, 128), jnp.float32),
             pltpu.VMEM((block_b, 128), jnp.float32),
             pltpu.VMEM((block_b, ho), jnp.float32),
         ],
         interpret=interpret,
-    )(keys, q, valid.astype(jnp.float32), w_r, r_bias, att, bias)
+    )(keys, q, valid_f, w_r, r_bias, att, bias)
+
+
+# --------------------------------------------------------------------------
+# backward kernel
+# --------------------------------------------------------------------------
+
+def _bwd_kernel(keys_ref, q_ref, valid_ref, g_ref, m_ref, l_ref, delta_ref,
+                w_ref, rbias_ref, att_ref,
+                dkeys_ref, dq_ref, dw_ref, drb_ref, datt_ref):
+    """Re-streams the C tiles: recompute xj / alpha from the saved softmax
+    stats, then one MXU pass each for dkeys (dxj @ W^T) and dW
+    (keys^T @ dxj). Constant-index outputs (dw/drb/datt) accumulate in
+    VMEM across the sequential TPU grid."""
+    bb, ct, dk = keys_ref.shape
+    ho = w_ref.shape[1]
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        dq_ref[:] = jnp.zeros((bb, ho), jnp.float32)
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _():
+        dw_ref[:] = jnp.zeros((dk, ho), jnp.float32)
+        drb_ref[:] = jnp.zeros((1, ho), jnp.float32)
+        datt_ref[:] = jnp.zeros((1, ho), jnp.float32)
+
+    keys2 = keys_ref[:].reshape(bb * ct, dk)
+    xj = jnp.dot(keys2, w_ref[:], preferred_element_type=jnp.float32) \
+        + rbias_ref[:].reshape(1, ho)                           # [bb*ct, O]
+    q = q_ref[:]                                                # [bb, O]
+    qb = jnp.repeat(q, ct, axis=0)                              # [bb*ct, O]
+    pre = xj * qb
+    z = jnp.where(pre >= 0, pre, 0.2 * pre)
+    att_row = att_ref[:].reshape(1, ho)
+    logits = jnp.sum((z * att_row).reshape(bb, ct, ho), axis=-1)  # [bb, ct]
+    v = valid_ref[:]
+    logits = jnp.where(v > 0, logits, _NEG)
+
+    m = m_ref[:][:, :1]                                         # [bb, 1]
+    l = jnp.maximum(l_ref[:][:, :1], 1e-16)
+    alpha = jnp.exp(logits - m) / l * v                         # [bb, ct]
+
+    g = g_ref[:]                                                # [bb, O]
+    gb = jnp.repeat(g, ct, axis=0)                              # [bb*ct, O]
+    # dalpha[b,c] = g[b] . xj[b,c]
+    galpha = jnp.sum((gb * xj).reshape(bb, ct, ho), axis=-1)    # [bb, ct]
+    delta = delta_ref[:][:, :1]                                 # [bb, 1]
+    dlogits = alpha * (galpha - delta)                          # [bb, ct]
+    dlog2 = dlogits.reshape(bb * ct, 1)
+
+    datt_ref[:] += jnp.sum(dlog2 * z, axis=0, keepdims=True)    # [1, O]
+
+    slope = jnp.where(pre >= 0, 1.0, 0.2)
+    dpre = dlog2 * att_row * slope                              # [bb*ct, O]
+    dxj = alpha.reshape(bb * ct, 1) * gb + dpre * qb            # [bb*ct, O]
+
+    dkeys_ref[:] = jnp.dot(
+        dxj, w_ref[:].T, preferred_element_type=jnp.float32
+    ).reshape(bb, ct, dk)
+    dw_ref[:] += jnp.dot(keys2.T, dxj, preferred_element_type=jnp.float32)
+    drb_ref[:] += jnp.sum(dxj, axis=0, keepdims=True)
+    dq_ref[:] += jnp.sum((dpre * xj).reshape(bb, ct, ho), axis=1)
+
+
+def _bwd_call(keys, q, valid_f, g, m, l, delta, w_r, r_bias, att,
+              block_b, c_tile, interpret):
+    b, c, dk = keys.shape
+    ho = w_r.shape[1]
+    grid = (b // block_b, c // c_tile)
+    return pl.pallas_call(
+        _bwd_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, c, dk), jnp.float32),
+            jax.ShapeDtypeStruct((b, ho), jnp.float32),
+            jax.ShapeDtypeStruct((dk, ho), jnp.float32),
+            jax.ShapeDtypeStruct((1, ho), jnp.float32),
+            jax.ShapeDtypeStruct((1, ho), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, c_tile, dk), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, ho), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, c_tile), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, ho), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 128), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 128), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 128), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dk, ho), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ho,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((att.shape[0], att.shape[1]),
+                         lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_b, c_tile, dk), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, ho), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dk, ho), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ho), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ho), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(keys, q, valid_f, g, m, l, delta, w_r, r_bias, att)
+
+
+# --------------------------------------------------------------------------
+# custom-VJP wrapper
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _fused(keys, q, valid_f, w_r, r_bias, att, bias,
+           block_b, c_tile, interpret):
+    out, _, _ = _fwd_call(keys, q, valid_f, w_r, r_bias, att, bias,
+                          block_b, c_tile, interpret)
+    return out
+
+
+def _fused_fwd(keys, q, valid_f, w_r, r_bias, att, bias,
+               block_b, c_tile, interpret):
+    out, m, l = _fwd_call(keys, q, valid_f, w_r, r_bias, att, bias,
+                          block_b, c_tile, interpret)
+    return out, (keys, q, valid_f, w_r, r_bias, att, bias, m, l, out)
+
+
+def _fused_bwd(block_b, c_tile, interpret, res, g):
+    keys, q, valid_f, w_r, r_bias, att, bias, m, l, out = res
+    g = g.astype(jnp.float32)
+    # delta[b] = g . (out - bias)  (softmax-jacobian common term)
+    delta = jnp.sum(g * (out - bias[None]), axis=-1, keepdims=True)
+    delta = jnp.broadcast_to(delta, (delta.shape[0], 128))
+    dkeys, dq, dw, drb, datt = _bwd_call(
+        keys, q, valid_f, g, m, l, delta, w_r, r_bias, att,
+        block_b, c_tile, interpret,
+    )
+    dbias = jnp.sum(g, axis=0)
+    return (dkeys, dq, jnp.zeros_like(valid_f), dw, drb.reshape(-1),
+            datt.reshape(att.shape), dbias)
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+# --------------------------------------------------------------------------
+# public entry
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("heads", "block_b", "interpret"))
+def fused_link_attention(
+    keys: jnp.ndarray,    # [B, C, Dk] = [node feats ‖ pe]
+    q: jnp.ndarray,       # [B, H*O]   = lin_l(e1) + lin_l(e2)
+    valid: jnp.ndarray,   # [B, C] bool
+    w_r: jnp.ndarray,     # [Dk, H*O]
+    r_bias: jnp.ndarray,  # [H*O]   lin_r bias
+    att: jnp.ndarray,     # [H, O]
+    bias: jnp.ndarray,    # [H*O]   output bias
+    heads: int = 1,
+    block_b: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Differentiable fused per-link attention (see module docstring).
+
+    Safe under jax.grad: a flash-style custom VJP re-streams the context
+    tiles instead of materializing [B, C, H*O] activations.
+    """
+    assert heads == 1, "fused TPU kernel is specialized for num_heads == 1"
+    b, c, dk = keys.shape
+    if block_b <= 0:
+        block_b = 8
+        while b % block_b != 0 and block_b > 1:
+            block_b //= 2
+    # lane-dim tiling wants C tiles of 128: pad the context axis with
+    # invalid entries (masked out of the softmax)
+    c_tile = min(128, c) if c % 128 == 0 or c < 128 else 128
+    c_pad = -(-c // c_tile) * c_tile
+    if c_pad != c:
+        keys = jnp.pad(keys, ((0, 0), (0, c_pad - c), (0, 0)))
+        valid = jnp.pad(valid, ((0, 0), (0, c_pad - c)))
+    return _fused(
+        keys.astype(jnp.float32), q.astype(jnp.float32),
+        valid.astype(jnp.float32), w_r, r_bias, att, bias,
+        block_b, c_tile, interpret,
+    )

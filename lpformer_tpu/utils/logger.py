@@ -56,6 +56,10 @@ class ResultsLogger:
             train2 = r[r[:, 1].argmax(), 0]
             test = r[r[:, 1].argmax(), 2]
             best_results.append((train1, valid, train2, test))
+        if not best_results:
+            # no eval ever ran (epochs < eval_steps)
+            print("No eval results recorded.")
+            return [0.0, 0.0, 0.0], [0.0, 0.0, 0.0]
         best = np.asarray(best_results)
         # ddof=1 to match torch.std default (the reference uses torch)
         std = lambda a: float(np.std(a, ddof=1)) if len(a) > 1 else 0.0  # noqa
