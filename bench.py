@@ -43,9 +43,26 @@ def _time_steps(fn, args, n_warmup=2, n_iter=8):
     return (time.perf_counter() - t0) / n_iter
 
 
+PRESETS = {
+    # collab-like is the default shape (the round-1 headline number)
+    "collab-like": dict(nodes=50_000, edges=400_000, feat=128, dim=128,
+                        batch=4096, budgets=(64, 128, 128), gnn_layers=3),
+    # citation2-scale: 1M nodes / 5M sym edges, big batch, small dim
+    # (reference config: dim 64, bs 32768, replicate_existing.sh:19)
+    "citation2-like": dict(nodes=1_000_000, edges=5_000_000, feat=96,
+                           dim=64, batch=32_768, budgets=(24, 64, 64),
+                           gnn_layers=3),
+    # ddi-like: small dense graph, big contexts, dim 256 (the >32GB-GPU
+    # shape in the reference, README.md:42)
+    "ddi-like": dict(nodes=4_096, edges=500_000, feat=256, dim=256,
+                     batch=4096, budgets=(128, 320, 320), gnn_layers=3),
+}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--preset", choices=sorted(PRESETS), default=None)
     ap.add_argument("--nodes", type=int, default=50_000)
     ap.add_argument("--edges", type=int, default=400_000)
     ap.add_argument("--feat", type=int, default=128)
@@ -53,7 +70,20 @@ def main():
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--naive-batch", type=int, default=512)
     ap.add_argument("--skip-naive", action="store_true")
+    ap.add_argument("--pallas", action="store_true",
+                    help="use the fused Pallas attention kernel")
+    ap.add_argument("--kernels", action="store_true",
+                    help="per-kernel micro-benchmarks + roofline, then exit")
+    ap.add_argument("--details-out", type=str, default="bench_details.json")
     args = ap.parse_args()
+
+    budgets = (64, 128, 128)
+    gnn_layers = 3
+    if args.preset:
+        p = PRESETS[args.preset]
+        args.nodes, args.edges = p["nodes"], p["edges"]
+        args.feat, args.dim, args.batch = p["feat"], p["dim"], p["batch"]
+        budgets, gnn_layers = p["budgets"], p["gnn_layers"]
 
     if args.smoke:
         import os
@@ -62,6 +92,7 @@ def main():
         args.nodes, args.edges = 500, 2500
         args.feat = args.dim = 32
         args.batch, args.naive_batch = 256, 64
+        budgets, gnn_layers = (16, 32, 32), 1
 
     import jax
 
@@ -96,11 +127,16 @@ def main():
 
     cfg = LPFormerConfig(
         dim=args.dim,
-        gnn_layers=3 if not args.smoke else 1,
-        budget_cn=64 if not args.smoke else 16,
-        budget_onehop=128 if not args.smoke else 32,
-        budget_non1hop=128 if not args.smoke else 32,
+        gnn_layers=gnn_layers,
+        budget_cn=budgets[0],
+        budget_onehop=budgets[1],
+        budget_non1hop=budgets[2],
+        use_pallas_attention=args.pallas,
     )
+
+    if args.kernels:
+        _bench_kernels(cfg, ds, args, jax, jnp)
+        return
     params = init_lpformer(jax.random.PRNGKey(0), cfg, in_dim=args.feat)
     # keep an undonated copy for the naive-baseline variant
     params_naive = jax.tree_util.tree_map(lambda x: jnp.array(x), params)
@@ -146,16 +182,185 @@ def main():
             file=sys.stderr,
         )
 
-    print(
-        json.dumps(
-            {
-                "metric": "train_step_links_per_s",
-                "value": round(links_per_s, 1),
-                "unit": "links/s/chip",
-                "vs_baseline": round(vs_baseline, 3),
-            }
-        )
+    # --- roofline / MFU accounting (SURVEY §6 speed-of-light accounting) ---
+    from lpformer_tpu.utils.profiling import (
+        roofline_report, train_step_roofline,
     )
+
+    est = train_step_roofline(
+        batch=args.batch,
+        num_edges=int(ds.graph.edge_src.shape[0]),
+        num_nodes=args.nodes,
+        dim=args.dim,
+        c_total=cfg.context.total_budget,
+        gnn_layers=gnn_layers,
+        seconds=dt,
+    )
+    print("[bench] " + roofline_report(est, "train_step"), file=sys.stderr)
+
+    details = {
+        "preset": args.preset or "default",
+        "pallas_attention": bool(args.pallas),
+        "step_ms": round(dt * 1e3, 2),
+        "links_per_s": round(links_per_s, 1),
+        "vs_naive_port": round(vs_baseline, 3),
+        "step_tflops": round(est.achieved_flops / 1e12, 3),
+        "step_mfu": round(est.flops_util, 4),
+        "step_gbps": round(est.achieved_bw / 1e9, 1),
+        "step_bw_util": round(est.bw_util, 4),
+        "step_bound": est.bound,
+        "bytes_per_link": round(est.bytes / args.batch, 1),
+    }
+    try:
+        with open(args.details_out, "w") as f:
+            json.dump(details, f, indent=1)
+    except OSError:
+        pass
+
+    out = {
+        "metric": "train_step_links_per_s",
+        "value": round(links_per_s, 1),
+        "unit": "links/s/chip",
+        "vs_baseline": round(vs_baseline, 3),
+    }
+    out.update({k: v for k, v in details.items()
+                if k not in ("links_per_s", "vs_naive_port")})
+    print(json.dumps(out))
+
+
+def _time_chained(jax, jnp, make_carry_fn, n_warmup=2, n_iter=10):
+    """Time a jitted carry->carry scalar chain; the only sync is a final
+    host fetch (block_until_ready does not block through the tunnel)."""
+    fn = jax.jit(make_carry_fn)
+    c = jnp.zeros((), jnp.float32)
+    for _ in range(n_warmup):
+        c = fn(c)
+    float(c)
+    c = jnp.zeros((), jnp.float32)
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        c = fn(c)
+    float(c)
+    return (time.perf_counter() - t0) / n_iter
+
+
+def _bench_kernels(cfg, ds, args, jax, jnp):
+    """Per-kernel micro-benchmarks with dense-jnp baselines + rooflines
+    (SURVEY §7.2; VERDICT r1 item 10). Prints one JSON line per kernel
+    to stdout and a summary table to stderr."""
+    from lpformer_tpu.models import init_lpformer
+    from lpformer_tpu.ops.context import extract_context
+    from lpformer_tpu.ops.spmm import spmm
+    from lpformer_tpu.utils.profiling import (
+        attention_roofline, context_roofline, roofline_report, spmm_roofline,
+    )
+    import numpy as np
+
+    n, dim, b = ds.num_nodes, args.dim, args.batch
+    e = int(ds.graph.edge_src.shape[0])
+    graph = ds.graph
+    results = {}
+
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (n, dim))
+
+    # anti-constant-fold: a data dependency on the carry that is always 0
+    def dep(carry):
+        return jnp.minimum(carry.astype(jnp.int32), 0)
+
+    # ---- SpMM forward ----
+    def spmm_fwd(c):
+        y = spmm(graph.edge_src, graph.edge_dst, graph.edge_w,
+                 x0 + jnp.tanh(c), n)
+        return jnp.tanh(jnp.sum(y[0]) * 1e-9)
+
+    dt = _time_chained(jax, jnp, spmm_fwd)
+    est = spmm_roofline(e, dim, dt)
+    results["spmm_fwd"] = (dt, est)
+
+    # ---- SpMM forward+backward (symmetric custom VJP) ----
+    def spmm_fb(c):
+        def f(x):
+            return jnp.sum(spmm(graph.edge_src, graph.edge_dst,
+                                graph.edge_w, x, n) ** 2)
+        l, g = jax.value_and_grad(f)(x0 + jnp.tanh(c))
+        return jnp.tanh((l + jnp.sum(g[0])) * 1e-9)
+
+    dt = _time_chained(jax, jnp, spmm_fb)
+    est = spmm_roofline(3 * e, dim, dt)  # fwd + dX via A^T + (no dW)
+    results["spmm_fwd_bwd"] = (dt, est)
+
+    # ---- context extraction ----
+    tp = np.asarray(ds.train_pos)
+    reps = -(-b // len(tp))
+    tp2 = np.tile(tp, (reps, 1))[:b]
+    src = jnp.asarray(tp2[:, 0])
+    tgt = jnp.asarray(tp2[:, 1])
+
+    def ctx_fn(c):
+        ctx = extract_context(graph.adj_rows, graph.ppr_rows,
+                              src + dep(c), tgt, cfg.context)
+        return jnp.tanh((jnp.sum(ctx.counts) + jnp.sum(ctx.src_ppr[0])) * 1e-9)
+
+    dt = _time_chained(jax, jnp, ctx_fn)
+    est = context_roofline(b, graph.adj_rows.cap, graph.ppr_rows.cap, dt)
+    results["context_extract"] = (dt, est)
+
+    # ---- per-link attention: XLA composition vs Pallas kernel ----
+    c_total = cfg.context.total_budget
+    params = init_lpformer(jax.random.PRNGKey(0), cfg, in_dim=args.feat)
+    lp = params["att_layers"][0]
+    keys = jax.random.normal(jax.random.PRNGKey(1), (b, c_total, 2 * dim))
+    q = jax.random.normal(jax.random.PRNGKey(2), (b, lp["lin_l"]["w"].shape[1]))
+    valid = jnp.asarray(
+        np.random.default_rng(0).random((b, c_total)) > 0.2)
+
+    def att_xla(keys, q):
+        xj = keys @ lp["lin_r"]["w"] + lp["lin_r"]["b"]
+        z = jax.nn.leaky_relu(xj * q[:, None, :], negative_slope=0.2)
+        logits = jnp.sum(z * lp["att"].reshape(1, 1, -1), axis=-1)
+        masked = jnp.where(valid, logits, -1e30)
+        m = jnp.maximum(jnp.max(masked, axis=1, keepdims=True), -5e29)
+        ex = jnp.exp(masked - m) * valid
+        alpha = ex / jnp.maximum(ex.sum(axis=1, keepdims=True), 1e-16)
+        return jnp.sum(alpha[..., None] * xj, axis=1) + lp["bias"]
+
+    def att_pallas(keys, q):
+        from lpformer_tpu.ops.pallas import fused_link_attention
+        return fused_link_attention(
+            keys, q, valid, lp["lin_r"]["w"], lp["lin_r"]["b"],
+            lp["att"], lp["bias"], heads=1,
+            interpret=jax.default_backend() != "tpu",
+        )
+
+    for name, impl in (("att_xla", att_xla), ("att_pallas", att_pallas)):
+        def fwd(c, impl=impl):
+            return jnp.tanh(jnp.sum(impl(keys + jnp.tanh(c), q)) * 1e-9)
+
+        def fb(c, impl=impl):
+            def f(k, qq):
+                return jnp.sum(impl(k, qq) ** 2)
+            l, gk = jax.value_and_grad(f)(keys + jnp.tanh(c), q)
+            return jnp.tanh((l + jnp.sum(gk[0, 0])) * 1e-9)
+
+        dt = _time_chained(jax, jnp, fwd)
+        results[name + "_fwd"] = (dt, attention_roofline(b, c_total, dim, 1, dt))
+        dt = _time_chained(jax, jnp, fb, n_iter=6)
+        est = attention_roofline(b, c_total, dim, 1, dt)
+        est.flops *= 3  # fwd + dkeys + dW passes
+        results[name + "_fwd_bwd"] = (dt, est)
+
+    for name, (dt, est) in results.items():
+        print("[kernels] " + roofline_report(est, name), file=sys.stderr)
+        print(json.dumps({
+            "metric": f"kernel_{name}_ms",
+            "value": round(dt * 1e3, 3),
+            "unit": "ms",
+            "tflops": round(est.achieved_flops / 1e12, 3),
+            "flops_util": round(est.flops_util, 4),
+            "gbps": round(est.achieved_bw / 1e9, 1),
+            "bw_util": round(est.bw_util, 4),
+            "bound": est.bound,
+        }))
 
 
 def _bench_naive(cfg, ds, params, batch, jax, jnp):

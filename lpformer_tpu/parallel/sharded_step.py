@@ -193,10 +193,21 @@ def make_sharded_loss(
     rows_per: int,
     ctx_rows_per: int,
     train: bool = True,
+    context_parallel: bool = False,
 ):
     """Returns loss(params, sg, mult, psrc, ptgt, pw, nsrc, ntgt, nw, rng)
-    -> scalar, internally shard_mapped over the mesh."""
+    -> scalar, internally shard_mapped over the mesh.
+
+    With ``context_parallel=True`` the link batch is sharded over 'data'
+    only and each link's context axis is sharded over 'graph' with a
+    merged two-pass softmax (parallel/context_parallel.py) — the
+    long-context mode for budgets exceeding one chip."""
     g_axis = mesh.shape["graph"]
+    if context_parallel:
+        from lpformer_tpu.parallel.context_parallel import check_cp_budgets
+        check_cp_budgets(cfg, g_axis)
+    link_axes = ("data",) if context_parallel else _AXES
+    loss_axes = ("data",) if context_parallel else _AXES
 
     def inner(
         params,
@@ -216,11 +227,17 @@ def make_sharded_loss(
         # edge-block partial sums are psum'd over 'data', so every data
         # shard must see the same dropped activations for its node rows.
         # Fold only the graph index for the encoder; links (sharded over
-        # both axes) get the fully device-unique rng.
+        # both axes) get the fully device-unique rng. In context-parallel
+        # mode, links live on the 'data' axis only and per-link dropout /
+        # context subsampling must be IDENTICAL along 'graph' (the psum'd
+        # softmax partials must agree) — fold only the data index.
         enc_rng = jax.random.fold_in(rng, gidx)
-        dev_rng = jax.random.fold_in(
-            jax.random.fold_in(rng, didx), gidx
-        )
+        if context_parallel:
+            dev_rng = jax.random.fold_in(rng, didx + 1_000_003)
+        else:
+            dev_rng = jax.random.fold_in(
+                jax.random.fold_in(rng, didx), gidx
+            )
 
         # ---- propagate (sharded GCN + final LN) ----
         X_full = _propagate_sharded(
@@ -257,8 +274,8 @@ def make_sharded_loss(
             ps_rows.adj_nbrs, ps_rows.adj_ranks, ptgt,
             pt_rows.adj_nbrs, pt_rows.adj_ranks, psrc,
         )
-        rank_all = jax.lax.all_gather(rank_loc, _AXES, axis=0, tiled=True)
-        w_all = jax.lax.all_gather(pw, _AXES, axis=0, tiled=True)
+        rank_all = jax.lax.all_gather(rank_loc, link_axes, axis=0, tiled=True)
+        w_all = jax.lax.all_gather(pw, link_axes, axis=0, tiled=True)
         mask_ranks = masking.bitmap_from_link_ranks(rank_all, mult, w_all)
 
         def link_scores(src, tgt, rows_s, rows_t, ranks, tag):
@@ -272,10 +289,19 @@ def make_sharded_loss(
                 params["elementwise_lin"],
                 gather_rows(X_full, src) * gather_rows(X_full, tgt),
             )
-            pairwise, _ = lt.calc_pairwise(
-                params, cfg, X_full, src, tgt, ctx,
-                rng=jax.random.fold_in(r, 3), train=train,
-            )
+            if context_parallel:
+                from lpformer_tpu.parallel.context_parallel import (
+                    cp_calc_pairwise,
+                )
+                pairwise = cp_calc_pairwise(
+                    params, cfg, X_full, src, tgt, ctx, "graph",
+                    rng=jax.random.fold_in(r, 3), train=train,
+                )
+            else:
+                pairwise, _ = lt.calc_pairwise(
+                    params, cfg, X_full, src, tgt, ctx,
+                    rng=jax.random.fold_in(r, 3), train=train,
+                )
             h = jnp.concatenate([elementwise, pairwise], axis=-1)
             return lt.score_links(
                 params, cfg, h, rng=jax.random.fold_in(r, 4), train=train
@@ -289,7 +315,7 @@ def make_sharded_loss(
         pos_cnt = jnp.sum(pw)
         neg_cnt = jnp.sum(nw)
         tot = jax.lax.psum(
-            jnp.stack([pos_sum, neg_sum, pos_cnt, neg_cnt]), _AXES
+            jnp.stack([pos_sum, neg_sum, pos_cnt, neg_cnt]), loss_axes
         )
         return -(tot[0] / jnp.maximum(tot[2], 1.0)) - (
             tot[1] / jnp.maximum(tot[3], 1.0)
@@ -302,7 +328,7 @@ def make_sharded_loss(
             (P(),)                                 # params
             + _sg_in_specs()
             + (P(),)                               # mult
-            + (P(_AXES),) * 6                      # link shards
+            + (P(link_axes),) * 6                  # link shards
             + (P(),)                               # rng
         ),
         out_specs=P(),
@@ -349,13 +375,20 @@ def make_sharded_propagate(
 
 
 def make_sharded_score_with_X(
-    cfg: LPFormerConfig, mesh: Mesh, num_nodes: int, ctx_rows_per: int
+    cfg: LPFormerConfig, mesh: Mesh, num_nodes: int, ctx_rows_per: int,
+    context_parallel: bool = False,
 ):
     """Sharded scorer reusing a propagated X_full:
     (params, sg, X_full, src, tgt) -> scores [B]. The link batch is
-    sharded over the full mesh; context rows are fetched collectively;
-    no masking, no dropout (eval semantics)."""
+    sharded over the full mesh (or 'data' only with
+    ``context_parallel=True``, where the context axis shards over
+    'graph'); context rows are fetched collectively; no masking, no
+    dropout (eval semantics)."""
     g_axis = mesh.shape["graph"]
+    if context_parallel:
+        from lpformer_tpu.parallel.context_parallel import check_cp_budgets
+        check_cp_budgets(cfg, g_axis)
+    link_axes = ("data",) if context_parallel else _AXES
 
     def inner(params, X_full,
               adj_nbrs, adj_vals, adj_ranks, ppr_nbrs, ppr_vals, ppr_flags,
@@ -379,9 +412,17 @@ def make_sharded_score_with_X(
             params["elementwise_lin"],
             gather_rows(X_full, src) * gather_rows(X_full, tgt),
         )
-        pairwise, _ = lt.calc_pairwise(
-            params, cfg, X_full, src, tgt, ctx, train=False
-        )
+        if context_parallel:
+            from lpformer_tpu.parallel.context_parallel import (
+                cp_calc_pairwise,
+            )
+            pairwise = cp_calc_pairwise(
+                params, cfg, X_full, src, tgt, ctx, "graph", train=False
+            )
+        else:
+            pairwise, _ = lt.calc_pairwise(
+                params, cfg, X_full, src, tgt, ctx, train=False
+            )
         h = jnp.concatenate([elementwise, pairwise], axis=-1)
         return lt.score_links(params, cfg, h, train=False)
 
@@ -393,9 +434,9 @@ def make_sharded_score_with_X(
             P(), P(),
             s.adj_nbrs, s.adj_vals, s.adj_ranks,
             s.ppr_nbrs, s.ppr_vals, s.ppr_flags,
-            P(_AXES), P(_AXES),
+            P(link_axes), P(link_axes),
         ),
-        out_specs=P(_AXES),
+        out_specs=P(link_axes),
         check_vma=False,
     )
 
@@ -438,9 +479,11 @@ def make_sharded_train_step(
     rows_per: int,
     ctx_rows_per: int,
     num_negative: int = 1,
+    context_parallel: bool = False,
 ):
     loss_fn = make_sharded_loss(
-        cfg, mesh, num_nodes, rows_per, ctx_rows_per, train=True
+        cfg, mesh, num_nodes, rows_per, ctx_rows_per, train=True,
+        context_parallel=context_parallel,
     )
 
     def step(state: TrainState, sg: ShardedGraph, mult, src, tgt, w, rng):

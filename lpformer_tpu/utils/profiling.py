@@ -108,6 +108,45 @@ def attention_roofline(
     return RooflineEstimate(flops=flops, bytes=bytes_, seconds=seconds)
 
 
+def context_roofline(
+    batch: int, adj_cap: int, ppr_cap: int, seconds: float
+) -> RooflineEstimate:
+    """Compare-all membership lookups: per link, src rows vs tgt rows
+    (dot_general over [capA, capB] compare tables) + row gathers."""
+    flops = 2.0 * batch * (ppr_cap * ppr_cap + adj_cap * adj_cap)
+    bytes_ = 2.0 * batch * (adj_cap * 4 + ppr_cap * 8)
+    return RooflineEstimate(flops=flops, bytes=bytes_, seconds=seconds)
+
+
+def train_step_roofline(
+    batch: int,
+    num_edges: int,
+    num_nodes: int,
+    dim: int,
+    c_total: int,
+    gnn_layers: int,
+    seconds: float,
+    fwd_passes: int = 2,
+    bwd_mult: float = 3.0,
+) -> RooflineEstimate:
+    """Analytic FLOP/byte lower bound for one full training step:
+    GCN (SpMM + dense), per-link attention, PPR-PE MLPs, head MLPs.
+    fwd_passes=2 is the reference's pos+neg double forward;
+    bwd_mult=3 counts fwd + dactivation + dweight passes."""
+    spmm = 2.0 * num_edges * dim * gnn_layers
+    gcn_dense = 2.0 * num_nodes * dim * dim * gnn_layers
+    att = batch * c_total * (2 * (2 * dim) * dim + 8.0 * dim)
+    pe = batch * c_total * 2 * 2.0 * (2 * dim + dim * dim)
+    heads = batch * 3 * 2.0 * 2 * dim * dim
+    flops = (spmm + gcn_dense + att + pe + heads) * fwd_passes * bwd_mult
+    bytes_ = (
+        num_edges * (dim * 2 * 4 + 8) * gnn_layers
+        + num_nodes * dim * 4 * 2
+        + batch * c_total * (2 * dim) * 4
+    ) * fwd_passes * 2.0
+    return RooflineEstimate(flops=flops, bytes=bytes_, seconds=seconds)
+
+
 def roofline_report(est: RooflineEstimate, name: str) -> str:
     return (
         f"[{name}] {est.seconds*1e3:.2f}ms  "
