@@ -228,18 +228,21 @@ def main():
     print(json.dumps(out))
 
 
-def _time_chained(jax, jnp, make_carry_fn, n_warmup=2, n_iter=10):
-    """Time a jitted carry->carry scalar chain; the only sync is a final
-    host fetch (block_until_ready does not block through the tunnel)."""
-    fn = jax.jit(make_carry_fn)
+def _time_chained(jax, jnp, fn, ops, n_warmup=2, n_iter=10):
+    """Time a jitted (carry, ops)->carry scalar chain; the only sync is a
+    final host fetch (block_until_ready does not block through the
+    tunnel). ``ops`` is passed as an explicit jit argument — closing over
+    large arrays would embed them as HLO literals, which the remote
+    compile path cannot digest."""
+    jfn = jax.jit(fn)
     c = jnp.zeros((), jnp.float32)
     for _ in range(n_warmup):
-        c = fn(c)
+        c = jfn(c, ops)
     float(c)
     c = jnp.zeros((), jnp.float32)
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        c = fn(c)
+        c = jfn(c, ops)
     float(c)
     return (time.perf_counter() - t0) / n_iter
 
@@ -268,24 +271,27 @@ def _bench_kernels(cfg, ds, args, jax, jnp):
         return jnp.minimum(carry.astype(jnp.int32), 0)
 
     # ---- SpMM forward ----
-    def spmm_fwd(c):
-        y = spmm(graph.edge_src, graph.edge_dst, graph.edge_w,
-                 x0 + jnp.tanh(c), n)
+    spmm_ops = (graph.edge_src, graph.edge_dst, graph.edge_w, x0)
+
+    def spmm_fwd(c, ops):
+        es, ed, ew, x = ops
+        y = spmm(es, ed, ew, x + jnp.tanh(c), n)
         return jnp.tanh(jnp.sum(y[0]) * 1e-9)
 
-    dt = _time_chained(jax, jnp, spmm_fwd)
+    dt = _time_chained(jax, jnp, spmm_fwd, spmm_ops)
     est = spmm_roofline(e, dim, dt)
     results["spmm_fwd"] = (dt, est)
 
     # ---- SpMM forward+backward (symmetric custom VJP) ----
-    def spmm_fb(c):
+    def spmm_fb(c, ops):
+        es, ed, ew, x0_ = ops
+
         def f(x):
-            return jnp.sum(spmm(graph.edge_src, graph.edge_dst,
-                                graph.edge_w, x, n) ** 2)
-        l, g = jax.value_and_grad(f)(x0 + jnp.tanh(c))
+            return jnp.sum(spmm(es, ed, ew, x, n) ** 2)
+        l, g = jax.value_and_grad(f)(x0_ + jnp.tanh(c))
         return jnp.tanh((l + jnp.sum(g[0])) * 1e-9)
 
-    dt = _time_chained(jax, jnp, spmm_fb)
+    dt = _time_chained(jax, jnp, spmm_fb, spmm_ops)
     est = spmm_roofline(3 * e, dim, dt)  # fwd + dX via A^T + (no dW)
     results["spmm_fwd_bwd"] = (dt, est)
 
@@ -296,12 +302,14 @@ def _bench_kernels(cfg, ds, args, jax, jnp):
     src = jnp.asarray(tp2[:, 0])
     tgt = jnp.asarray(tp2[:, 1])
 
-    def ctx_fn(c):
-        ctx = extract_context(graph.adj_rows, graph.ppr_rows,
-                              src + dep(c), tgt, cfg.context)
+    def ctx_fn(c, ops):
+        adj_rows, ppr_rows, src_, tgt_ = ops
+        ctx = extract_context(adj_rows, ppr_rows,
+                              src_ + dep(c), tgt_, cfg.context)
         return jnp.tanh((jnp.sum(ctx.counts) + jnp.sum(ctx.src_ppr[0])) * 1e-9)
 
-    dt = _time_chained(jax, jnp, ctx_fn)
+    dt = _time_chained(jax, jnp, ctx_fn,
+                       (graph.adj_rows, graph.ppr_rows, src, tgt))
     est = context_roofline(b, graph.adj_rows.cap, graph.ppr_rows.cap, dt)
     results["context_extract"] = (dt, est)
 
@@ -314,7 +322,9 @@ def _bench_kernels(cfg, ds, args, jax, jnp):
     valid = jnp.asarray(
         np.random.default_rng(0).random((b, c_total)) > 0.2)
 
-    def att_xla(keys, q):
+    att_ops = (keys, q, valid, lp)
+
+    def att_xla(keys, q, valid, lp):
         xj = keys @ lp["lin_r"]["w"] + lp["lin_r"]["b"]
         z = jax.nn.leaky_relu(xj * q[:, None, :], negative_slope=0.2)
         logits = jnp.sum(z * lp["att"].reshape(1, 1, -1), axis=-1)
@@ -324,7 +334,7 @@ def _bench_kernels(cfg, ds, args, jax, jnp):
         alpha = ex / jnp.maximum(ex.sum(axis=1, keepdims=True), 1e-16)
         return jnp.sum(alpha[..., None] * xj, axis=1) + lp["bias"]
 
-    def att_pallas(keys, q):
+    def att_pallas(keys, q, valid, lp):
         from lpformer_tpu.ops.pallas import fused_link_attention
         return fused_link_attention(
             keys, q, valid, lp["lin_r"]["w"], lp["lin_r"]["b"],
@@ -333,18 +343,22 @@ def _bench_kernels(cfg, ds, args, jax, jnp):
         )
 
     for name, impl in (("att_xla", att_xla), ("att_pallas", att_pallas)):
-        def fwd(c, impl=impl):
-            return jnp.tanh(jnp.sum(impl(keys + jnp.tanh(c), q)) * 1e-9)
+        def fwd(c, ops, impl=impl):
+            keys_, q_, valid_, lp_ = ops
+            return jnp.tanh(
+                jnp.sum(impl(keys_ + jnp.tanh(c), q_, valid_, lp_)) * 1e-9)
 
-        def fb(c, impl=impl):
+        def fb(c, ops, impl=impl):
+            keys_, q_, valid_, lp_ = ops
+
             def f(k, qq):
-                return jnp.sum(impl(k, qq) ** 2)
-            l, gk = jax.value_and_grad(f)(keys + jnp.tanh(c), q)
+                return jnp.sum(impl(k, qq, valid_, lp_) ** 2)
+            l, gk = jax.value_and_grad(f)(keys_ + jnp.tanh(c), q_)
             return jnp.tanh((l + jnp.sum(gk[0, 0])) * 1e-9)
 
-        dt = _time_chained(jax, jnp, fwd)
+        dt = _time_chained(jax, jnp, fwd, att_ops)
         results[name + "_fwd"] = (dt, attention_roofline(b, c_total, dim, 1, dt))
-        dt = _time_chained(jax, jnp, fb, n_iter=6)
+        dt = _time_chained(jax, jnp, fb, att_ops, n_iter=6)
         est = attention_roofline(b, c_total, dim, 1, dt)
         est.flops *= 3  # fwd + dkeys + dW passes
         results[name + "_fwd_bwd"] = (dt, est)

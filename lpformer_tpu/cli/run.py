@@ -71,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", type=str, default=None,
                    help="checkpoint path to resume training from")
     p.add_argument("--pallas-attention", action="store_true", default=False)
+    p.add_argument("--context-parallel", action="store_true",
+                   help="with --mesh: shard each link's context set over "
+                        "the 'graph' axis (merged two-pass softmax) — for "
+                        "budgets exceeding one chip")
     p.add_argument("--mesh", type=str, default=None,
                    help="'D,G' (data x graph) or 'auto': train + eval over "
                         "a device mesh with row-sharded context state")
@@ -199,6 +203,7 @@ def main(argv=None):
         resume=args.resume,
         grad_accum=args.grad_accum,
         mesh=args.mesh,
+        context_parallel=args.context_parallel,
     )
 
     if args.checkpoint is not None:

@@ -39,11 +39,13 @@ class ShardedEvalContext:
         mesh: Mesh,
         ds,
         sg_train: Optional[ShardedGraph] = None,
+        context_parallel: bool = False,
     ):
         d = mesh.shape["data"]
         g = mesh.shape["graph"]
         self.mesh = mesh
         self.ndev = d * g
+        self.link_dev = d if context_parallel else d * g
         self.sg = (
             sg_train
             if sg_train is not None
@@ -59,5 +61,6 @@ class ShardedEvalContext:
             cfg, mesh, ds.num_nodes, self.sg.rows_per_shard
         )
         self.score = make_sharded_score_with_X(
-            cfg, mesh, ds.num_nodes, self.sg.ctx_rows_per_shard
+            cfg, mesh, ds.num_nodes, self.sg.ctx_rows_per_shard,
+            context_parallel=context_parallel,
         )

@@ -56,6 +56,7 @@ class TrainArgs:
     resume: Optional[str] = None   # checkpoint path to resume training from
     grad_accum: int = 1            # micro-batches per optimizer step
     mesh: Optional[str] = None     # "D,G" (data x graph) — train over a mesh
+    context_parallel: bool = False  # shard the context axis over 'graph'
 
 
 def _iter_batches(rng: np.random.Generator, n: int, batch_size: int):
@@ -170,19 +171,25 @@ def train_loop(
             raise ValueError("--grad-accum is not supported with --mesh")
         d, g = parse_mesh(args.mesh)
         ndev = d * g
-        assert args.batch_size % ndev == 0, (
-            f"batch_size {args.batch_size} must divide over {ndev} devices"
+        link_dev = d if args.context_parallel else ndev
+        assert args.batch_size % link_dev == 0, (
+            f"batch_size {args.batch_size} must divide over {link_dev} "
+            f"link-sharding devices"
         )
-        assert args.test_batch_size % ndev == 0, (
+        assert args.test_batch_size % link_dev == 0, (
             f"test_batch_size {args.test_batch_size} must divide over "
-            f"{ndev} devices"
+            f"{link_dev} link-sharding devices"
         )
         mesh = make_mesh(data=d, graph=g, devices=jax.devices()[:ndev])
         sg = place_sharded_graph(partition_graph(ds.graph, g=g, d=d), mesh)
-        eval_ctx = ShardedEvalContext(cfg, mesh, ds, sg_train=sg)
+        eval_ctx = ShardedEvalContext(
+            cfg, mesh, ds, sg_train=sg,
+            context_parallel=args.context_parallel,
+        )
         sharded_step = make_sharded_train_step(
             cfg, optimizer, mesh, ds.num_nodes, sg.rows_per_shard,
             sg.ctx_rows_per_shard, num_negative=args.num_negative,
+            context_parallel=args.context_parallel,
         )
 
         def step_call(state, src, tgt, w):
