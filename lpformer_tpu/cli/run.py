@@ -68,6 +68,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ppr-cap", type=int, default=None)
     p.add_argument("--single-propagate", action="store_true", default=False,
                    help="share one GCN propagation across pos/neg halves")
+    p.add_argument("--save-every", type=int, default=0,
+                   help="also checkpoint every N epochs (crash recovery)")
     p.add_argument("--resume", type=str, default=None,
                    help="checkpoint path to resume training from")
     p.add_argument("--pallas-attention", action="store_true", default=False)
@@ -201,6 +203,7 @@ def main(argv=None):
         data_name=args.data_name,
         double_propagate=not args.single_propagate,
         resume=args.resume,
+        save_every=args.save_every,
         grad_accum=args.grad_accum,
         mesh=args.mesh,
         context_parallel=args.context_parallel,

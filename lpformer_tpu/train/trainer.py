@@ -54,6 +54,8 @@ class TrainArgs:
     data_name: str = "dataset"
     double_propagate: bool = True
     resume: Optional[str] = None   # checkpoint path to resume training from
+    save_every: int = 0            # also checkpoint every N epochs (crash
+                                   # recovery; 0 = only at best-valid)
     grad_accum: int = 1            # micro-batches per optimizer step
     mesh: Optional[str] = None     # "D,G" (data x graph) — train over a mesh
     context_parallel: bool = False  # shard the context axis over 'graph'
@@ -231,6 +233,21 @@ def train_loop(
                 f"Epoch {epoch} Loss: {float(total_loss) / total_examples:.4f} "
                 f"({time.time() - t0:.1f}s)",
                 flush=True,
+            )
+
+        if (args.save_every and model_save_name is not None
+                and epoch % args.save_every == 0):
+            # periodic crash-recovery checkpoint (reference has none —
+            # SURVEY §5 failure handling; pairs with --resume)
+            ckpt.save_checkpoint(
+                model_save_name + ".latest.ckpt",
+                {
+                    "params": state.params,
+                    "opt_state": state.opt_state,
+                    "step": state.step,
+                    "epoch": epoch,
+                    "seed": seed,
+                },
             )
 
         if epoch % args.eval_steps == 0:

@@ -75,6 +75,33 @@ def test_checkpoint_resume(tmp_path):
     assert r1["MRR"] == r2["MRR"]
 
 
+def test_save_every_periodic_checkpoint(tmp_path):
+    """--save-every writes a .latest.ckpt usable for crash recovery
+    independently of best-valid progress."""
+    import os
+
+    from lpformer_tpu.utils import checkpoint as ckpt
+
+    ds = synthetic_dataset(
+        seed=3, num_nodes=100, num_train=300, num_eval=24, feat_dim=8
+    )
+    args = TrainArgs(
+        epochs=3, lr=5e-3, batch_size=128, test_batch_size=128,
+        eval_steps=10,  # never evals -> never saves best-valid
+        runs=1, metric="MRR", verbose=False, save_every=2,
+        save_as="m", checkpoint_dir=str(tmp_path), data_name="synth",
+    )
+    loggers = {
+        "Hits@20": ResultsLogger(1), "Hits@50": ResultsLogger(1),
+        "Hits@100": ResultsLogger(1), "MRR": ResultsLogger(1),
+    }
+    base = os.path.join(str(tmp_path), "synth", "m")
+    train_loop(args, _cfg(), ds, loggers, 0, base)
+    assert not os.path.exists(base + ".ckpt")  # no eval -> no best save
+    state = ckpt.load_checkpoint(base + ".latest.ckpt")
+    assert state is not None and int(state["epoch"]) == 2
+
+
 def test_mask_input_training():
     ds = synthetic_dataset(
         seed=4, num_nodes=100, num_train=300, num_eval=24, feat_dim=8
