@@ -156,42 +156,53 @@ def _bwd_kernel(keys_ref, q_ref, valid_ref, g_ref, m_ref, l_ref, delta_ref,
         drb_ref[:] = jnp.zeros((1, ho), jnp.float32)
         datt_ref[:] = jnp.zeros((1, ho), jnp.float32)
 
+    # NOTE on shapes: Mosaic rejects reshapes that collapse the lane dim
+    # ([bb, ct] -> [bb*ct, 1]) and relayouts of [bb, 1, O] broadcasts.
+    # This kernel therefore sticks strictly to the op vocabulary the
+    # forward kernel compiles with: jnp.repeat row-broadcasts in 2-D,
+    # (bb*ct, O) <-> (bb, ct, O) leading-dim reshapes,
+    # [bb, ct, 1] * [bb, ct, O] broadcasts, axis=-1 / axis=1 reductions,
+    # and plain 2-D MXU matmuls.
     keys2 = keys_ref[:].reshape(bb * ct, dk)
-    xj = jnp.dot(keys2, w_ref[:], preferred_element_type=jnp.float32) \
-        + rbias_ref[:].reshape(1, ho)                           # [bb*ct, O]
-    q = q_ref[:]                                                # [bb, O]
-    qb = jnp.repeat(q, ct, axis=0)                              # [bb*ct, O]
-    pre = xj * qb
-    z = jnp.where(pre >= 0, pre, 0.2 * pre)
+    xj2 = jnp.dot(keys2, w_ref[:], preferred_element_type=jnp.float32) \
+        + rbias_ref[:][None]                                    # [bb*ct, O]
+    xj3 = xj2.reshape(bb, ct, ho)
+    qb = jnp.repeat(q_ref[:], ct, axis=0)                       # [bb*ct, O]
+    pre2 = xj2 * qb
+    z2 = jnp.where(pre2 >= 0, pre2, 0.2 * pre2)                 # [bb*ct, O]
     att_row = att_ref[:].reshape(1, ho)
-    logits = jnp.sum((z * att_row).reshape(bb, ct, ho), axis=-1)  # [bb, ct]
+    logits = jnp.sum((z2 * att_row).reshape(bb, ct, ho), axis=-1)
     v = valid_ref[:]
-    logits = jnp.where(v > 0, logits, _NEG)
+    logits = jnp.where(v > 0, logits, _NEG)                     # [bb, ct]
 
     m = m_ref[:][:, :1]                                         # [bb, 1]
     l = jnp.maximum(l_ref[:][:, :1], 1e-16)
     alpha = jnp.exp(logits - m) / l * v                         # [bb, ct]
 
-    g = g_ref[:]                                                # [bb, O]
-    gb = jnp.repeat(g, ct, axis=0)                              # [bb*ct, O]
+    gb = jnp.repeat(g_ref[:], ct, axis=0)                       # [bb*ct, O]
     # dalpha[b,c] = g[b] . xj[b,c]
-    galpha = jnp.sum((gb * xj).reshape(bb, ct, ho), axis=-1)    # [bb, ct]
+    galpha = jnp.sum((gb * xj2).reshape(bb, ct, ho), axis=-1)   # [bb, ct]
     delta = delta_ref[:][:, :1]                                 # [bb, 1]
     dlogits = alpha * (galpha - delta)                          # [bb, ct]
-    dlog2 = dlogits.reshape(bb * ct, 1)
+    dlog3 = dlogits[:, :, None]                                 # [bb, ct, 1]
 
-    datt_ref[:] += jnp.sum(dlog2 * z, axis=0, keepdims=True)    # [1, O]
+    datt_ref[:] += jnp.sum(
+        jnp.sum(dlog3 * z2.reshape(bb, ct, ho), axis=1),
+        axis=0, keepdims=True)                                  # [1, O]
 
-    slope = jnp.where(pre >= 0, 1.0, 0.2)
-    dpre = dlog2 * att_row * slope                              # [bb*ct, O]
-    dxj = alpha.reshape(bb * ct, 1) * gb + dpre * qb            # [bb*ct, O]
+    # fold att into the leaky-relu slope while still 2-D
+    sa2 = jnp.where(pre2 >= 0, 1.0, 0.2) * att_row              # [bb*ct, O]
+    dpre3 = dlog3 * sa2.reshape(bb, ct, ho)                     # [bb, ct, O]
+    axj3 = alpha[:, :, None] * gb.reshape(bb, ct, ho)
+    dxj3 = axj3 + dpre3 * qb.reshape(bb, ct, ho)                # [bb, ct, O]
+    dxj2 = dxj3.reshape(bb * ct, ho)
 
     dkeys_ref[:] = jnp.dot(
-        dxj, w_ref[:].T, preferred_element_type=jnp.float32
+        dxj2, w_ref[:].T, preferred_element_type=jnp.float32
     ).reshape(bb, ct, dk)
-    dw_ref[:] += jnp.dot(keys2.T, dxj, preferred_element_type=jnp.float32)
-    drb_ref[:] += jnp.sum(dxj, axis=0, keepdims=True)
-    dq_ref[:] += jnp.sum((dpre * xj).reshape(bb, ct, ho), axis=1)
+    dw_ref[:] += jnp.dot(keys2.T, dxj2, preferred_element_type=jnp.float32)
+    drb_ref[:] += jnp.sum(dxj2, axis=0, keepdims=True)
+    dq_ref[:] += jnp.sum(dpre3 * xj3, axis=1)                   # [bb, O]
 
 
 def _bwd_call(keys, q, valid_f, g, m, l, delta, w_r, r_bias, att,

@@ -10,6 +10,8 @@ bytes) — the quantity that rides ICI on real multi-chip hardware.
 The north-star target (BASELINE.md) is >=80% edges/s scaling efficiency
 at 2+ hosts. NOTE: on a CPU host with fewer cores than virtual devices,
 compute oversubscription makes absolute efficiency numbers pessimistic —
+and XLA:CPU's collective rendezvous aborts if a device's compute phase
+exceeds its 40s watchdog, so the default shape is deliberately small —
 the harness's value on CPU is (a) trend + regression tracking and
 (b) exact collective-volume accounting; the same harness runs unchanged
 on a real TPU mesh.
@@ -148,11 +150,11 @@ def main():
     ap.add_argument("--devices", type=int, default=0,
                     help="child mode: run one measurement at N devices")
     ap.add_argument("--sweep", type=str, default="1,2,4,8")
-    ap.add_argument("--nodes", type=int, default=8_000)
-    ap.add_argument("--edges", type=int, default=48_000)
+    ap.add_argument("--nodes", type=int, default=4_000)
+    ap.add_argument("--edges", type=int, default=24_000)
     ap.add_argument("--feat", type=int, default=64)
     ap.add_argument("--dim", type=int, default=64)
-    ap.add_argument("--per-dev-batch", type=int, default=256)
+    ap.add_argument("--per-dev-batch", type=int, default=128)
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--out", type=str, default="scaling_bench.json")
     args = ap.parse_args()
