@@ -17,6 +17,10 @@ import numpy as np
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser()
+    p.add_argument("--config", type=str, default=None,
+                   help="JSON config: a path, or a name under configs/ "
+                        "(e.g. 'ogbl-collab-existing'). Explicit CLI flags "
+                        "override config values.")
     # (reference run.py:151-202)
     p.add_argument("--data_name", type=str, default="ogbl-collab")
     p.add_argument("--runs", type=int, default=1)
@@ -165,8 +169,41 @@ def build_config(args, ds):
     )
 
 
+def apply_config(parser: argparse.ArgumentParser, argv):
+    """Two-phase parse: read --config first, load its JSON as parser
+    defaults (explicit CLI flags still win), then parse fully. A bare
+    name resolves under the repo's configs/ directory."""
+    pre, _ = parser.parse_known_args(argv)
+    if pre.config is None:
+        return parser.parse_args(argv)
+    import json
+
+    path = pre.config
+    if not os.path.exists(path):
+        cand = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))),
+            "configs", path + ".json",
+        )
+        if os.path.exists(cand):
+            path = cand
+        else:
+            raise FileNotFoundError(
+                f"--config {pre.config!r}: no such file, and no "
+                f"configs/{pre.config}.json"
+            )
+    with open(path) as f:
+        cfg = json.load(f)
+    known = {a.dest for a in parser._actions}
+    unknown = set(cfg) - known
+    if unknown:
+        raise ValueError(f"unknown config keys in {path}: {sorted(unknown)}")
+    parser.set_defaults(**cfg)
+    return parser.parse_args(argv)
+
+
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    args = apply_config(build_parser(), argv)
     if args.platform:
         os.environ["JAX_PLATFORMS"] = args.platform
         import jax

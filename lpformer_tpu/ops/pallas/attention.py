@@ -136,25 +136,29 @@ def _fwd_call(keys, q, valid_f, w_r, r_bias, att, bias,
 
 def _bwd_kernel(keys_ref, q_ref, valid_ref, g_ref, m_ref, l_ref, delta_ref,
                 w_ref, rbias_ref, att_ref,
-                dkeys_ref, dq_ref, dw_ref, drb_ref, datt_ref):
+                dkeys_ref, dq_ref, dw_ref, drb_ref, datt_ref,
+                dq_scr, dw_scr, drb_scr, datt_scr):
     """Re-streams the C tiles: recompute xj / alpha from the saved softmax
     stats, then one MXU pass each for dkeys (dxj @ W^T) and dW
-    (keys^T @ dxj). Constant-index outputs (dw/drb/datt) accumulate in
-    VMEM across the sequential TPU grid."""
+    (keys^T @ dxj). All reductions accumulate in VMEM *scratch* across
+    the sequential TPU grid and are written to the output refs once at
+    the final step — the forward kernel's compiled pattern (accumulating
+    into output blocks trips Mosaic relayout errors)."""
     bb, ct, dk = keys_ref.shape
     ho = w_ref.shape[1]
     i = pl.program_id(0)
     j = pl.program_id(1)
+    nb, nc = pl.num_programs(0), pl.num_programs(1)
 
     @pl.when(j == 0)
     def _():
-        dq_ref[:] = jnp.zeros((bb, ho), jnp.float32)
+        dq_scr[:] = jnp.zeros((bb, ho), jnp.float32)
 
     @pl.when(jnp.logical_and(i == 0, j == 0))
     def _():
-        dw_ref[:] = jnp.zeros((dk, ho), jnp.float32)
-        drb_ref[:] = jnp.zeros((1, ho), jnp.float32)
-        datt_ref[:] = jnp.zeros((1, ho), jnp.float32)
+        dw_scr[:] = jnp.zeros((dk, ho), jnp.float32)
+        drb_scr[:] = jnp.zeros((bb, ho), jnp.float32)
+        datt_scr[:] = jnp.zeros((bb, ho), jnp.float32)
 
     # NOTE on shapes: Mosaic rejects reshapes that collapse the lane dim
     # ([bb, ct] -> [bb*ct, 1]) and relayouts of [bb, 1, O] broadcasts.
@@ -186,9 +190,8 @@ def _bwd_kernel(keys_ref, q_ref, valid_ref, g_ref, m_ref, l_ref, delta_ref,
     dlogits = alpha * (galpha - delta)                          # [bb, ct]
     dlog3 = dlogits[:, :, None]                                 # [bb, ct, 1]
 
-    datt_ref[:] += jnp.sum(
-        jnp.sum(dlog3 * z2.reshape(bb, ct, ho), axis=1),
-        axis=0, keepdims=True)                                  # [1, O]
+    datt_scr[:] = datt_scr[:] + jnp.sum(
+        dlog3 * z2.reshape(bb, ct, ho), axis=1)                 # [bb, O]
 
     # fold att into the leaky-relu slope while still 2-D
     sa2 = jnp.where(pre2 >= 0, 1.0, 0.2) * att_row              # [bb*ct, O]
@@ -200,9 +203,20 @@ def _bwd_kernel(keys_ref, q_ref, valid_ref, g_ref, m_ref, l_ref, delta_ref,
     dkeys_ref[:] = jnp.dot(
         dxj2, w_ref[:].T, preferred_element_type=jnp.float32
     ).reshape(bb, ct, dk)
-    dw_ref[:] += jnp.dot(keys2.T, dxj2, preferred_element_type=jnp.float32)
-    drb_ref[:] += jnp.sum(dxj2, axis=0, keepdims=True)
-    dq_ref[:] += jnp.sum(dpre3 * xj3, axis=1)                   # [bb, O]
+    dw_scr[:] = dw_scr[:] + jnp.dot(
+        keys2.T, dxj2, preferred_element_type=jnp.float32)
+    drb_scr[:] = drb_scr[:] + jnp.sum(dxj3, axis=1)             # [bb, O]
+    dq_scr[:] = dq_scr[:] + jnp.sum(dpre3 * xj3, axis=1)        # [bb, O]
+
+    @pl.when(j == nc - 1)
+    def _():
+        dq_ref[:] = dq_scr[:]
+
+    @pl.when(jnp.logical_and(i == nb - 1, j == nc - 1))
+    def _():
+        dw_ref[:] = dw_scr[:]
+        drb_ref[:] = jnp.sum(drb_scr[:], axis=0, keepdims=True)
+        datt_ref[:] = jnp.sum(datt_scr[:], axis=0, keepdims=True)
 
 
 def _bwd_call(keys, q, valid_f, g, m, l, delta, w_r, r_bias, att,
@@ -253,6 +267,12 @@ def _bwd_call(keys, q, valid_f, g, m, l, delta, w_r, r_bias, att,
             pl.BlockSpec((1, ho), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((block_b, ho), jnp.float32),
+            pltpu.VMEM((dk, ho), jnp.float32),
+            pltpu.VMEM((block_b, ho), jnp.float32),
+            pltpu.VMEM((block_b, ho), jnp.float32),
+        ],
         interpret=interpret,
     )(keys, q, valid_f, g, m, l, delta, w_r, r_bias, att)
 
