@@ -53,9 +53,11 @@ PRESETS = {
                            dim=64, batch=32_768, budgets=(24, 64, 64),
                            gnn_layers=3),
     # ddi-like: small dense graph, big contexts, dim 256 (the >32GB-GPU
-    # shape in the reference, README.md:42)
+    # shape in the reference, README.md:42). Grad accumulation keeps the
+    # [B/accum, C, dim] pairwise transients inside 16GB HBM.
     "ddi-like": dict(nodes=4_096, edges=500_000, feat=256, dim=256,
-                     batch=4096, budgets=(128, 320, 320), gnn_layers=3),
+                     batch=4096, budgets=(128, 320, 320), gnn_layers=3,
+                     accum=4),
 }
 
 
@@ -72,6 +74,9 @@ def main():
     ap.add_argument("--skip-naive", action="store_true")
     ap.add_argument("--pallas", action="store_true",
                     help="use the fused Pallas attention kernel")
+    ap.add_argument("--grad-accum", type=int, default=1,
+                    help="micro-batches per optimizer step (presets may "
+                         "set a default; 1 = monolithic step)")
     ap.add_argument("--kernels", action="store_true",
                     help="per-kernel micro-benchmarks + roofline, then exit")
     ap.add_argument("--details-out", type=str, default="bench_details.json")
@@ -84,6 +89,8 @@ def main():
         args.nodes, args.edges = p["nodes"], p["edges"]
         args.feat, args.dim, args.batch = p["feat"], p["dim"], p["batch"]
         budgets, gnn_layers = p["budgets"], p["gnn_layers"]
+        if args.grad_accum == 1:
+            args.grad_accum = p.get("accum", 1)
 
     if args.smoke:
         import os
@@ -142,7 +149,7 @@ def main():
     params_naive = jax.tree_util.tree_map(lambda x: jnp.array(x), params)
     opt = make_optimizer(1e-3, steps_per_epoch=100)
     state = TrainState(params, opt.init(params), jnp.asarray(0, jnp.int32))
-    step = make_train_step(cfg, opt)
+    step = make_train_step(cfg, opt, grad_accum=args.grad_accum)
 
     import numpy as np
 
@@ -201,6 +208,7 @@ def main():
     details = {
         "preset": args.preset or "default",
         "pallas_attention": bool(args.pallas),
+        "grad_accum": args.grad_accum,
         "step_ms": round(dt * 1e3, 2),
         "links_per_s": round(links_per_s, 1),
         "vs_naive_port": round(vs_baseline, 3),

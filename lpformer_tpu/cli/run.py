@@ -109,6 +109,11 @@ def load_dataset(args):
             feat_dim=args.syn_feat,
             eps=args.eps,
             heart=args.heart,
+            # Uncapped rows on a dense synthetic PPR (cap ~ N) make the
+            # [B, A, P] extraction compares quadratic in N — at the
+            # default test batch that is a multi-100GB buffer.
+            adj_cap=args.adj_cap if args.adj_cap is not None else 96,
+            ppr_cap=args.ppr_cap if args.ppr_cap is not None else 256,
         )
     if name in ("cora", "citeseer", "pubmed", "chameleon", "squirrel"):
         from lpformer_tpu.data.planetoid import read_data_planetoid

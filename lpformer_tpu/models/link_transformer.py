@@ -133,13 +133,33 @@ def propagate(
     return nn.layer_norm_apply(params["gnn_norm"], x)
 
 
+def _fold_last(mlp_p: Dict, W: jnp.ndarray) -> Dict:
+    """Compose an MLP's final (bare, reference: other_models.py:134-136)
+    linear with a following linear ``W``, so ``mlp(x) @ W`` evaluates as
+    one MLP whose output lands directly in the projected space — the
+    [B, C, dim] intermediate never exists."""
+    layers = list(mlp_p["layers"])
+    last = {"w": layers[-1]["w"] @ W}
+    if "b" in layers[-1]:
+        last["b"] = layers[-1]["b"] @ W
+    layers[-1] = last
+    out = dict(mlp_p)
+    out["layers"] = layers
+    return out
+
+
 def _pos_encodings(
-    params: Dict, cfg: LPFormerConfig, ctx: ContextTables
+    params: Dict, cfg: LPFormerConfig, ctx: ContextTables,
+    W_fold: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Symmetric PPR encodings pe = g(ppr_s, ppr_t) + g(ppr_t, ppr_s), one
     MLP per node class applied to its static block of the context table
-    (reference: link_transformer.py:182-211)."""
+    (reference: link_transformer.py:182-211). With ``W_fold`` the result
+    is pe @ W_fold, computed by folding W_fold into each class MLP's
+    final linear."""
     def sym(mlp_p, ps, pt):
+        if W_fold is not None:
+            mlp_p = _fold_last(mlp_p, W_fold)
         a = nn.mlp_apply(mlp_p, jnp.stack([ps, pt], axis=-1),
                          mm_dtype=cfg.mm_dtype)
         b = nn.mlp_apply(mlp_p, jnp.stack([pt, ps], axis=-1),
@@ -170,11 +190,36 @@ def _pos_encodings(
     return jnp.concatenate(blocks, axis=1)
 
 
+def _project_keys(
+    lp: Dict, params: Dict, cfg: LPFormerConfig,
+    X_node: jnp.ndarray, ctx: ContextTables,
+) -> jnp.ndarray:
+    """xj = [x_v ‖ pe_v] @ W_r + b_r  without materializing the
+    [B, C, 2*dim] key table (reference computes it explicitly,
+    layers.py:130,193-224): split W_r into its node and pe halves, so
+      xj = gather(X_node @ W_top)[ids] + pe_folded(ppr) + b_r.
+    The node half runs once in [N, dim] space (N << B*C) and the pe
+    half lands directly in the projected space via _fold_last."""
+    d = X_node.shape[-1]
+    W = lp["lin_r"]["w"]
+    X_proj = nn.matmul(X_node, W[:d], cfg.mm_dtype)       # [N, H*O]
+    # pad row N = zeros so padded ids contribute only pe + bias (as the
+    # explicit composition did for its zero-padded node features)
+    X_proj = jnp.concatenate(
+        [X_proj, jnp.zeros((1, X_proj.shape[-1]), X_proj.dtype)], axis=0
+    )
+    xj = gather_rows(X_proj, ctx.ids)                     # [B, C, H*O]
+    xj = xj + _pos_encodings(params, cfg, ctx, W_fold=W[d:])
+    if "b" in lp["lin_r"]:
+        xj = xj + lp["lin_r"]["b"]
+    return xj
+
+
 def _att_layer_apply(
     lp: Dict,
     cfg: LPFormerConfig,
     edge_x: jnp.ndarray,     # [B, 2*q]
-    keys_in: jnp.ndarray,    # [B, C, 2*dim] = [node feats ‖ pe]
+    xj: jnp.ndarray,         # [B, C, H*O] projected keys (_project_keys)
     valid: jnp.ndarray,      # [B, C]
     *,
     rng: Optional[jax.Array] = None,
@@ -186,31 +231,13 @@ def _att_layer_apply(
       out      = Σ_v softmax(score)_v · W_r[x_v‖pe_v]
     followed by post-LayerNorm + dropout (layers.py:78-80)."""
     h = cfg.num_heads
-    b_, c_, _ = keys_in.shape
+    b_, c_, _ = xj.shape
     half = edge_x.shape[-1] // 2
     ho = lp["lin_l"]["w"].shape[1]
     o = ho // h
     e1 = nn.linear_apply(lp["lin_l"], edge_x[:, :half], cfg.mm_dtype)
     e2 = nn.linear_apply(lp["lin_l"], edge_x[:, half:], cfg.mm_dtype)
 
-    if cfg.use_pallas_attention and h == 1 and not return_weights:
-        # Fused flash-style kernel, train and eval: its custom VJP
-        # re-streams the context tiles, so [B, C, H*O] activations never
-        # hit HBM in either direction.
-        from lpformer_tpu.ops.pallas import fused_link_attention
-
-        out = fused_link_attention(
-            keys_in, e1 + e2, valid,
-            lp["lin_r"]["w"], lp["lin_r"]["b"], lp["att"], lp["bias"],
-            heads=h,
-            interpret=jax.default_backend() != "tpu",
-        )
-        out = nn.layer_norm_apply(lp["post_norm"], out)
-        if train and cfg.dropout > 0 and rng is not None:
-            out = nn.dropout(rng, out, cfg.dropout, train)
-        return out, None
-
-    xj = nn.linear_apply(lp["lin_r"], keys_in, cfg.mm_dtype)  # [B, C, H*O]
     xj = xj.reshape(b_, c_, h, o)
     e1 = e1.reshape(b_, 1, h, o)
     e2 = e2.reshape(b_, 1, h, o)
@@ -225,6 +252,36 @@ def _att_layer_apply(
     if train and cfg.dropout > 0 and rng is not None:
         out = nn.dropout(rng, out, cfg.dropout, train)
     return out, alpha
+
+
+def _att_layer_apply_pallas(
+    lp: Dict,
+    cfg: LPFormerConfig,
+    edge_x: jnp.ndarray,     # [B, 2*q]
+    keys_in: jnp.ndarray,    # [B, C, 2*dim] = [node feats ‖ pe]
+    valid: jnp.ndarray,      # [B, C]
+    *,
+    rng: Optional[jax.Array] = None,
+    train: bool = False,
+) -> Tuple[jnp.ndarray, None]:
+    """Fused flash-style kernel, train and eval: streams C-tiles of the
+    explicit [x_v ‖ pe_v] key table through VMEM, so [B, C, H*O]
+    activations never hit HBM in either direction."""
+    from lpformer_tpu.ops.pallas import fused_link_attention
+
+    half = edge_x.shape[-1] // 2
+    e1 = nn.linear_apply(lp["lin_l"], edge_x[:, :half], cfg.mm_dtype)
+    e2 = nn.linear_apply(lp["lin_l"], edge_x[:, half:], cfg.mm_dtype)
+    out = fused_link_attention(
+        keys_in, e1 + e2, valid,
+        lp["lin_r"]["w"], lp["lin_r"]["b"], lp["att"], lp["bias"],
+        heads=1,
+        interpret=jax.default_backend() != "tpu",
+    )
+    out = nn.layer_norm_apply(lp["post_norm"], out)
+    if train and cfg.dropout > 0 and rng is not None:
+        out = nn.dropout(rng, out, cfg.dropout, train)
+    return out, None
 
 
 def calc_pairwise(
@@ -245,30 +302,46 @@ def calc_pairwise(
         [gather_rows(X_node, src), gather_rows(X_node, tgt)], axis=-1
     )
 
+    use_pallas = (
+        cfg.use_pallas_attention and cfg.num_heads == 1
+        and not return_weights
+    )
+
     def attend(params, X_node, pairwise_feats, ctx, rng):
-        # pad row N = zeros so padded ids gather to zero features
-        X_ext = jnp.concatenate(
-            [X_node, jnp.zeros((1, X_node.shape[-1]), X_node.dtype)], axis=0
-        )
-        node_keys = gather_rows(X_ext, ctx.ids)              # [B, C, dim]
-        pes = _pos_encodings(params, cfg, ctx)               # [B, C, dim]
-        keys_in = jnp.concatenate([node_keys, pes], axis=-1)  # [B, C, 2*dim]
+        if use_pallas:
+            # the fused kernel streams the explicit [x_v ‖ pe_v] table
+            X_ext = jnp.concatenate(
+                [X_node, jnp.zeros((1, X_node.shape[-1]), X_node.dtype)],
+                axis=0,
+            )
+            node_keys = gather_rows(X_ext, ctx.ids)            # [B, C, dim]
+            pes = _pos_encodings(params, cfg, ctx)             # [B, C, dim]
+            keys_in = jnp.concatenate([node_keys, pes], axis=-1)
 
         att_weights = None
         for i, lp in enumerate(params["att_layers"]):
             r = None if rng is None else jax.random.fold_in(rng, 10 + i)
-            pairwise_feats_, att_weights = _att_layer_apply(
-                lp, cfg, pairwise_feats if i == 0 else pairwise_feats_,
-                keys_in, ctx.valid, rng=r, train=train,
-                return_weights=return_weights,
-            )
+            feats_in = pairwise_feats if i == 0 else pairwise_feats_
+            if use_pallas:
+                pairwise_feats_, att_weights = _att_layer_apply_pallas(
+                    lp, cfg, feats_in, keys_in, ctx.valid, rng=r,
+                    train=train,
+                )
+            else:
+                xj = _project_keys(lp, params, cfg, X_node, ctx)
+                pairwise_feats_, att_weights = _att_layer_apply(
+                    lp, cfg, feats_in, xj, ctx.valid, rng=r, train=train,
+                    return_weights=return_weights,
+                )
         return pairwise_feats_, att_weights
 
     remat = cfg.remat_pairwise
     if remat is None:
-        # auto: keys_in [B, C, 2*dim] f32 held for backward
+        # auto: the largest pairwise-space activation held for backward
+        # ([B, C, 2*dim] keys_in on the pallas path, [B, C, dim] xj on
+        # the split-projection path)
         bsz, ctot = ctx.ids.shape
-        remat = bsz * ctot * 2 * cfg.dim * 4 > 3e9
+        remat = bsz * ctot * (2 if use_pallas else 1) * cfg.dim * 4 > 3e9
     if remat and not return_weights:
         attend = jax.checkpoint(attend)
     pairwise_feats, att_weights = attend(
