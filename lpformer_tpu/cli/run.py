@@ -71,7 +71,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--adj-cap", type=int, default=None)
     p.add_argument("--ppr-cap", type=int, default=None)
     p.add_argument("--single-propagate", action="store_true", default=False,
-                   help="share one GCN propagation across pos/neg halves")
+                   help="share one GCN propagation across pos/neg halves "
+                        "(the default whenever --mask-input is off)")
+    p.add_argument("--double-propagate", action="store_true", default=False,
+                   help="force two full propagations per step (bit-exact "
+                        "reference emulation; ~17%% slower)")
     p.add_argument("--save-every", type=int, default=0,
                    help="also checkpoint every N epochs (crash recovery)")
     p.add_argument("--resume", type=str, default=None,
@@ -243,7 +247,8 @@ def main(argv=None):
         save_as=args.save_as,
         verbose=not args.non_verbose,
         data_name=args.data_name,
-        double_propagate=not args.single_propagate,
+        double_propagate=(True if args.double_propagate
+                          else False if args.single_propagate else None),
         resume=args.resume,
         save_every=args.save_every,
         grad_accum=args.grad_accum,

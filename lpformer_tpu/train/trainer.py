@@ -52,7 +52,8 @@ class TrainArgs:
     checkpoint_dir: str = "checkpoints"
     verbose: bool = True
     data_name: str = "dataset"
-    double_propagate: bool = True
+    double_propagate: Optional[bool] = None  # None = auto (two propagations
+                                   # only when mask_input requires them)
     resume: Optional[str] = None   # checkpoint path to resume training from
     save_every: int = 0            # also checkpoint every N epochs (crash
                                    # recovery; 0 = only at best-valid)

@@ -113,3 +113,47 @@ def test_mask_input_training():
     )
     best, _, _ = train_data(args, _cfg(), ds)
     assert best > 0
+
+
+def test_shared_propagation_exact_when_no_gnn_dropout():
+    """double_propagate=None resolves to the shared-propagation fast path
+    when mask_input is off; with gnn_drop == feat_drop == 0 it is
+    bit-identical to the reference's two-propagation step."""
+    import jax
+    import jax.numpy as jnp
+
+    from lpformer_tpu.models import init_lpformer
+    from lpformer_tpu.train import make_optimizer
+    from lpformer_tpu.train.step import TrainState, make_train_step
+
+    ds = synthetic_dataset(
+        seed=5, num_nodes=120, num_train=400, num_eval=40, feat_dim=8
+    )
+    cfg = _cfg()
+    params = init_lpformer(jax.random.PRNGKey(0), cfg, in_dim=8)
+    opt = make_optimizer(1e-3, steps_per_epoch=10)
+    src = jnp.asarray(np.asarray(ds.train_pos)[:64, 0])
+    tgt = jnp.asarray(np.asarray(ds.train_pos)[:64, 1])
+    w = jnp.ones((64,), jnp.float32)
+    bin_w = (ds.graph.edge_w > 0).astype(jnp.float32)
+    rng = jax.random.PRNGKey(3)
+
+    losses = {}
+    for name, dp in (("auto", None), ("double", True), ("single", False)):
+        step = make_train_step(cfg, opt, double_propagate=dp, donate=False)
+        state = TrainState(
+            jax.tree_util.tree_map(jnp.array, params),
+            opt.init(params), jnp.asarray(0, jnp.int32),
+        )
+        state, loss = step(state, ds.graph, ds.mask_mult_device, bin_w,
+                           src, tgt, w, rng)
+        losses[name] = (float(loss), state.params)
+
+    assert losses["auto"][0] == losses["single"][0]
+    # same math, different XLA programs -> identical up to fp reassociation
+    np.testing.assert_allclose(losses["auto"][0], losses["double"][0],
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(losses["auto"][1]),
+                    jax.tree_util.tree_leaves(losses["double"][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
