@@ -79,6 +79,9 @@ def main():
                          "set a default; 1 = monolithic step)")
     ap.add_argument("--kernels", action="store_true",
                     help="per-kernel micro-benchmarks + roofline, then exit")
+    ap.add_argument("--no-ell", action="store_true",
+                    help="disable the hybrid ELL SpMM (A/B: COO "
+                         "gather+segment_sum propagation instead)")
     ap.add_argument("--details-out", type=str, default="bench_details.json")
     args = ap.parse_args()
 
@@ -128,8 +131,13 @@ def main():
         adj_cap=96,
         ppr_cap=256,
     )
+    if args.no_ell and ds.graph.ell is not None:
+        import dataclasses
+
+        ds.graph = dataclasses.replace(ds.graph, ell=None)
     print(f"[bench] dataset built in {time.time()-t0:.1f}s "
-          f"(adj cap {ds.graph.adj_rows.cap}, ppr cap {ds.graph.ppr_rows.cap})",
+          f"(adj cap {ds.graph.adj_rows.cap}, ppr cap {ds.graph.ppr_rows.cap}, "
+          f"ell cap {None if ds.graph.ell is None else ds.graph.ell.cap})",
           file=sys.stderr)
 
     cfg = LPFormerConfig(
@@ -208,6 +216,8 @@ def main():
     details = {
         "preset": args.preset or "default",
         "pallas_attention": bool(args.pallas),
+        "ell_spmm": ds.graph.ell is not None,
+        "ell_cap": None if ds.graph.ell is None else ds.graph.ell.cap,
         "grad_accum": args.grad_accum,
         "step_ms": round(dt * 1e3, 2),
         "links_per_s": round(links_per_s, 1),
@@ -302,6 +312,31 @@ def _bench_kernels(cfg, ds, args, jax, jnp):
     dt = _time_chained(jax, jnp, spmm_fb, spmm_ops)
     est = spmm_roofline(3 * e, dim, dt)  # fwd + dX via A^T + (no dW)
     results["spmm_fwd_bwd"] = (dt, est)
+
+    # ---- hybrid ELL SpMM (scatter-free main path) ----
+    if graph.ell is not None:
+        from lpformer_tpu.ops.spmm import spmm_ell
+
+        ell_ops = (graph.ell, graph.edge_w, x0)
+
+        def ell_fwd(c, ops):
+            ell_, ew, x = ops
+            y = spmm_ell(ell_, ew, x + jnp.tanh(c))
+            return jnp.tanh(jnp.sum(y[0]) * 1e-9)
+
+        dt = _time_chained(jax, jnp, ell_fwd, ell_ops)
+        results["spmm_ell_fwd"] = (dt, spmm_roofline(e, dim, dt))
+
+        def ell_fb(c, ops):
+            ell_, ew, x0_ = ops
+
+            def f(x):
+                return jnp.sum(spmm_ell(ell_, ew, x) ** 2)
+            l, g = jax.value_and_grad(f)(x0_ + jnp.tanh(c))
+            return jnp.tanh((l + jnp.sum(g[0])) * 1e-9)
+
+        dt = _time_chained(jax, jnp, ell_fb, ell_ops)
+        results["spmm_ell_fwd_bwd"] = (dt, spmm_roofline(3 * e, dim, dt))
 
     # ---- context extraction ----
     tp = np.asarray(ds.train_pos)

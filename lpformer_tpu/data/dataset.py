@@ -14,7 +14,12 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
-from lpformer_tpu.graph.containers import CSRGraph, GraphBundle, PaddedRows
+from lpformer_tpu.graph.containers import (
+    CSRGraph,
+    ELLAdjacency,
+    GraphBundle,
+    PaddedRows,
+)
 from lpformer_tpu.graph import preprocess as pp
 from lpformer_tpu.ops import masking
 
@@ -59,6 +64,7 @@ def build_graph_bundle(
     ppr_cap: Optional[int] = None,
     symmetrize: bool = True,
     mask_uniq_keys: Optional[np.ndarray] = None,
+    build_ell: bool = True,
 ) -> GraphBundle:
     """Assemble the static device-side graph state.
 
@@ -107,6 +113,11 @@ def build_graph_bundle(
         if mask_uniq_keys is not None
         else None
     )
+    ell = (
+        ELLAdjacency.from_sorted_coo(ps_, pd_, num_nodes)
+        if build_ell
+        else None
+    )
     return GraphBundle(
         x=jnp.asarray(x, jnp.float32),
         edge_src=jnp.asarray(ps_, jnp.int32),
@@ -122,6 +133,7 @@ def build_graph_bundle(
         degree=jnp.asarray(deg, jnp.float32),
         num_nodes=num_nodes,
         num_edges=int(len(ps_)),
+        ell=ell,
     )
 
 

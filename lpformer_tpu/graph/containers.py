@@ -164,6 +164,90 @@ class PaddedRows:
 
 @partial(
     jax.tree_util.register_dataclass,
+    data_fields=["nb", "slot_edge", "ov_src", "ov_dst", "ov_edge"],
+    meta_fields=["cap", "num_nodes", "num_edges"],
+)
+@dataclasses.dataclass(frozen=True)
+class ELLAdjacency:
+    """Hybrid ELL + overflow-COO layout of the dst-sorted propagation
+    adjacency, for the scatter-free SpMM (:func:`lpformer_tpu.ops.spmm
+    .spmm_ell`).
+
+    Each destination row keeps its first ``cap`` in-edges in a dense
+    [N, cap] slot grid (``nb`` = source ids, pad 0; ``slot_edge`` = index
+    into the dst-sorted edge array, pad ``num_edges`` so the padded slot
+    reads weight 0.0 from the extended weight vector). In-edges beyond
+    ``cap`` (hub rows) stay as a COO remainder handled by the ordinary
+    gather + sorted-segment-sum path. ``cap`` is chosen by
+    :func:`ELLAdjacency.from_sorted_coo`'s cost model so slot padding
+    never outweighs the scatter it removes.
+
+    Measured on v5e (N=50k, E=400k, D=128): the dense-slot formulation
+    runs the same E row-gathers but replaces the sorted scatter-add with
+    an einsum reduction — 2.5x faster than gather+segment_sum (the
+    scatter is ~2x the gather's cost; see VERDICT round-2 probes).
+    """
+
+    nb: jnp.ndarray         # [N, cap] int32 source ids, pad 0
+    slot_edge: jnp.ndarray  # [N, cap] int32 edge index, pad num_edges
+    ov_src: jnp.ndarray     # [E_ov] int32 (dst-sorted remainder)
+    ov_dst: jnp.ndarray     # [E_ov] int32
+    ov_edge: jnp.ndarray    # [E_ov] int32 edge index
+    cap: int
+    num_nodes: int
+    num_edges: int
+
+    # relative cost of an overflow edge (gather + scatter-add) vs an ELL
+    # slot (gather + multiply-add), from the v5e probe above
+    _OVERFLOW_COST = 2.5
+
+    @staticmethod
+    def from_sorted_coo(
+        edge_src: np.ndarray,
+        edge_dst: np.ndarray,
+        num_nodes: int,
+        max_cap: int = 128,
+    ) -> Optional["ELLAdjacency"]:
+        """Build from a (dst, src)-sorted COO edge list. Returns None when
+        the cost model prefers the pure-COO path (cap 0 optimal)."""
+        e = len(edge_dst)
+        if e == 0 or num_nodes == 0:
+            return None
+        deg = np.bincount(edge_dst, minlength=num_nodes)
+        cmax = int(min(deg.max(), max_cap))
+        # overflow(c) = sum_v max(deg_v - c, 0) = sum_{i > c} t[i] where
+        # t[i] = #nodes with degree >= i (so overflow(0) == E)
+        hist = np.bincount(deg)
+        t = np.cumsum(hist[::-1])[::-1]
+        suf = np.concatenate([np.cumsum(t[::-1])[::-1], [0.0]])
+        over = suf[1:cmax + 2]  # overflow at cap c for c in [0, cmax]
+        cost = (num_nodes * np.arange(cmax + 1)
+                + ELLAdjacency._OVERFLOW_COST * over)
+        cap = int(np.argmin(cost))
+        if cap == 0:
+            return None
+        indptr = np.concatenate([[0], np.cumsum(deg)])
+        pos = np.arange(e, dtype=np.int64) - indptr[edge_dst]
+        main = pos < cap
+        nb = np.zeros((num_nodes, cap), np.int32)
+        slot_edge = np.full((num_nodes, cap), e, np.int32)
+        nb[edge_dst[main], pos[main]] = edge_src[main]
+        slot_edge[edge_dst[main], pos[main]] = np.nonzero(main)[0]
+        ov = np.nonzero(~main)[0].astype(np.int32)
+        return ELLAdjacency(
+            nb=jnp.asarray(nb),
+            slot_edge=jnp.asarray(slot_edge),
+            ov_src=jnp.asarray(edge_src[ov].astype(np.int32)),
+            ov_dst=jnp.asarray(edge_dst[ov].astype(np.int32)),
+            ov_edge=jnp.asarray(ov),
+            cap=cap,
+            num_nodes=num_nodes,
+            num_edges=e,
+        )
+
+
+@partial(
+    jax.tree_util.register_dataclass,
     data_fields=[
         "x",
         "edge_src",
@@ -173,6 +257,7 @@ class PaddedRows:
         "adj_rows",
         "ppr_rows",
         "degree",
+        "ell",
     ],
     meta_fields=["num_nodes", "num_edges"],
 )
@@ -198,3 +283,6 @@ class GraphBundle:
     degree: jnp.ndarray     # [N] float32 out-degrees of raw edge_index
     num_nodes: int
     num_edges: int
+    # hybrid ELL layout of (edge_src, edge_dst) for the scatter-free
+    # SpMM; None -> the COO gather+segment_sum path
+    ell: Optional[ELLAdjacency] = None

@@ -65,6 +65,7 @@ def gcn_apply(
     rng: Optional[jax.Array] = None,
     train: bool = False,
     mm_dtype=None,
+    ell=None,
 ) -> jnp.ndarray:
     # Normalization depends only on the (possibly batch-masked) weights;
     # compute once and share across layers (the reference's gcn_cache
@@ -73,10 +74,15 @@ def gcn_apply(
     lns = params.get("lns")
     for i, conv in enumerate(params["convs"]):
         xi = nn.matmul(x, conv["w"], mm_dtype)
-        xi = spmm.spmm(
-            edge_src, edge_dst, w_norm, xi, num_nodes, diag=diag,
-            gather_dtype=mm_dtype,
-        )
+        if ell is not None:
+            xi = spmm.spmm_ell(
+                ell, w_norm, xi, diag=diag, gather_dtype=mm_dtype
+            )
+        else:
+            xi = spmm.spmm(
+                edge_src, edge_dst, w_norm, xi, num_nodes, diag=diag,
+                gather_dtype=mm_dtype,
+            )
         xi = xi + conv["bias"]
         if lns is not None:
             xi = nn.layer_norm_apply(lns[i], xi)

@@ -129,6 +129,7 @@ def propagate(
         rng=None if rng is None else jax.random.fold_in(rng, 1),
         train=train,
         mm_dtype=cfg.mm_dtype,
+        ell=getattr(graph, "ell", None),
     )
     return nn.layer_norm_apply(params["gnn_norm"], x)
 

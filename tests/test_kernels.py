@@ -91,3 +91,115 @@ def test_gcn_norm_weighted_self_loops():
         jnp.asarray(s2), jnp.asarray(d2), jnp.asarray(w2), jnp.asarray(x), n
     )
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+
+
+# ----------------------------------------------------------------------
+# hybrid ELL + overflow-COO SpMM
+# ----------------------------------------------------------------------
+
+def _ell_graph(seed, n=150, m=700, hub_deg=120):
+    """Random graph plus one hub so the ELL build has a COO overflow."""
+    from lpformer_tpu.graph.containers import ELLAdjacency
+
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    src = np.concatenate([src, rng.integers(0, n, hub_deg)])
+    dst = np.concatenate([dst, np.full(hub_deg, 7)])
+    s, d, w = pp.symmetrize(src, dst, None, n)
+    s2, d2, w2 = pp.sort_by_dst(s.astype(np.int32), d.astype(np.int32), w, n)
+    ell = ELLAdjacency.from_sorted_coo(s2, d2, n, max_cap=16)
+    return s2, d2, w2, ell, n
+
+
+def test_ell_builder_roundtrip():
+    """Every edge lands in exactly one slot or the overflow remainder."""
+    s2, d2, _, ell, n = _ell_graph(0)
+    e = len(s2)
+    seen = np.zeros(e, bool)
+    nb = np.asarray(ell.nb)
+    slot_edge = np.asarray(ell.slot_edge)
+    main = slot_edge < e
+    eidx = slot_edge[main]
+    assert not seen[eidx].any()
+    seen[eidx] = True
+    np.testing.assert_array_equal(s2[eidx], nb[main])
+    rows = np.broadcast_to(np.arange(n)[:, None], nb.shape)[main]
+    np.testing.assert_array_equal(d2[eidx], rows)
+    ov = np.asarray(ell.ov_edge)
+    assert not seen[ov].any()
+    seen[ov] = True
+    assert seen.all()
+    np.testing.assert_array_equal(s2[ov], np.asarray(ell.ov_src))
+    np.testing.assert_array_equal(d2[ov], np.asarray(ell.ov_dst))
+    # hub row must overflow given cap <= 16 < its degree
+    assert (np.asarray(ell.ov_dst) == 7).sum() > 0
+
+
+def test_ell_spmm_matches_coo():
+    s2, d2, w2, ell, n = _ell_graph(1)
+    x = jnp.asarray(
+        np.random.default_rng(2).standard_normal((n, 24)), jnp.float32
+    )
+    es, ed, ew = jnp.asarray(s2), jnp.asarray(d2), jnp.asarray(w2)
+    w_norm, diag = spmm.gcn_norm_device(es, ed, ew, n)
+    ref = spmm.spmm(es, ed, w_norm, x, n, diag=diag)
+    got = spmm.spmm_ell(ell, w_norm, x, diag=diag)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    # no-diag + bf16 gather variant
+    ref2 = spmm.spmm(es, ed, w_norm, x, n, gather_dtype=jnp.bfloat16)
+    got2 = spmm.spmm_ell(ell, w_norm, x, gather_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_ell_spmm_grad_matches_coo():
+    s2, d2, w2, ell, n = _ell_graph(3)
+    x = jnp.asarray(
+        np.random.default_rng(4).standard_normal((n, 12)), jnp.float32
+    )
+    es, ed, ew = jnp.asarray(s2), jnp.asarray(d2), jnp.asarray(w2)
+    w_norm, diag = spmm.gcn_norm_device(es, ed, ew, n)
+    t = jnp.asarray(
+        np.random.default_rng(5).standard_normal((n, 12)), jnp.float32
+    )
+    g_ref = jax.grad(
+        lambda v: (spmm.spmm(es, ed, w_norm, v, n, diag=diag) * t).sum()
+    )(x)
+    g_ell = jax.grad(
+        lambda v: (spmm.spmm_ell(ell, w_norm, v, diag=diag) * t).sum()
+    )(x)
+    np.testing.assert_allclose(np.asarray(g_ell), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_ell_cost_model_degenerate():
+    """Cap-0-optimal (single giant hub) graphs return None -> COO path."""
+    from lpformer_tpu.graph.containers import ELLAdjacency
+
+    n = 2000
+    src = np.arange(1, n, dtype=np.int32)
+    dst = np.zeros(n - 1, np.int32)
+    s2, d2, _ = pp.sort_by_dst(src, dst, np.ones(n - 1, np.float32), n)
+    assert ELLAdjacency.from_sorted_coo(s2, d2, n, max_cap=64) is None
+    assert ELLAdjacency.from_sorted_coo(
+        np.zeros(0, np.int32), np.zeros(0, np.int32), n
+    ) is None
+
+
+def test_gcn_apply_ell_matches_coo():
+    """Model-level: gcn_apply with the ELL path == the COO path."""
+    from lpformer_tpu.models import gcn
+
+    s2, d2, w2, ell, n = _ell_graph(6)
+    rng = jax.random.PRNGKey(0)
+    params = gcn.gcn_init(rng, 16, 32, 32, num_layers=2)
+    x = jnp.asarray(
+        np.random.default_rng(7).standard_normal((n, 16)), jnp.float32
+    )
+    es, ed, ew = jnp.asarray(s2), jnp.asarray(d2), jnp.asarray(w2)
+    ref = gcn.gcn_apply(params, x, es, ed, ew, n, residual=True)
+    got = gcn.gcn_apply(params, x, es, ed, ew, n, residual=True, ell=ell)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
