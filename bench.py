@@ -82,6 +82,9 @@ def main():
     ap.add_argument("--no-ell", action="store_true",
                     help="disable the hybrid ELL SpMM (A/B: COO "
                          "gather+segment_sum propagation instead)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="matmul_dtype=bfloat16: bf16 MXU matmuls, bf16 "
+                         "key tables/gathers, f32 softmax+accumulation")
     ap.add_argument("--details-out", type=str, default="bench_details.json")
     args = ap.parse_args()
 
@@ -147,6 +150,7 @@ def main():
         budget_onehop=budgets[1],
         budget_non1hop=budgets[2],
         use_pallas_attention=args.pallas,
+        matmul_dtype="bfloat16" if args.bf16 else "float32",
     )
 
     if args.kernels:
@@ -218,6 +222,7 @@ def main():
         "pallas_attention": bool(args.pallas),
         "ell_spmm": ds.graph.ell is not None,
         "ell_cap": None if ds.graph.ell is None else ds.graph.ell.cap,
+        "matmul_dtype": cfg.matmul_dtype,
         "grad_accum": args.grad_accum,
         "step_ms": round(dt * 1e3, 2),
         "links_per_s": round(links_per_s, 1),

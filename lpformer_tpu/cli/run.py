@@ -21,6 +21,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="JSON config: a path, or a name under configs/ "
                         "(e.g. 'ogbl-collab-existing'). Explicit CLI flags "
                         "override config values.")
+    p.add_argument("--matmul-dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="bfloat16: bf16 MXU matmuls + bf16 key tables "
+                        "and gathers, f32 softmax/accumulation")
     # (reference run.py:151-202)
     p.add_argument("--data_name", type=str, default="ogbl-collab")
     p.add_argument("--runs", type=int, default=1)
@@ -175,6 +179,7 @@ def build_config(args, ds):
         budget_onehop=args.budget_onehop or 2 * adj_cap,
         budget_non1hop=args.budget_non1hop or ppr_cap,
         use_pallas_attention=args.pallas_attention,
+        matmul_dtype=args.matmul_dtype,
     )
 
 

@@ -152,12 +152,15 @@ def _fold_last(mlp_p: Dict, W: jnp.ndarray) -> Dict:
 def _pos_encodings(
     params: Dict, cfg: LPFormerConfig, ctx: ContextTables,
     W_fold: Optional[jnp.ndarray] = None,
+    out_dtype=None,
 ) -> jnp.ndarray:
     """Symmetric PPR encodings pe = g(ppr_s, ppr_t) + g(ppr_t, ppr_s), one
     MLP per node class applied to its static block of the context table
     (reference: link_transformer.py:182-211). With ``W_fold`` the result
     is pe @ W_fold, computed by folding W_fold into each class MLP's
-    final linear."""
+    final linear. ``out_dtype`` casts each block at creation (bf16 key
+    tables under ``matmul_dtype``) so the [B, C, dim] f32 form never
+    lands in HBM."""
     def sym(mlp_p, ps, pt):
         if W_fold is not None:
             mlp_p = _fold_last(mlp_p, W_fold)
@@ -165,7 +168,8 @@ def _pos_encodings(
                          mm_dtype=cfg.mm_dtype)
         b = nn.mlp_apply(mlp_p, jnp.stack([pt, ps], axis=-1),
                          mm_dtype=cfg.mm_dtype)
-        return a + b
+        out = a + b
+        return out if out_dtype is None else out.astype(out_dtype)
 
     c = cfg.context
     blocks = []
@@ -204,15 +208,21 @@ def _project_keys(
     d = X_node.shape[-1]
     W = lp["lin_r"]["w"]
     X_proj = nn.matmul(X_node, W[:d], cfg.mm_dtype)       # [N, H*O]
+    # Under matmul_dtype the whole key table lives in bf16: the [B,C,H*O]
+    # gather/pe/xj tensors (the pairwise block's dominant HBM traffic,
+    # both directions) halve; softmax stats and accumulations stay f32
+    # downstream via dtype promotion.
+    kd = cfg.mm_dtype or X_proj.dtype
+    X_proj = X_proj.astype(kd)
     # pad row N = zeros so padded ids contribute only pe + bias (as the
     # explicit composition did for its zero-padded node features)
     X_proj = jnp.concatenate(
         [X_proj, jnp.zeros((1, X_proj.shape[-1]), X_proj.dtype)], axis=0
     )
     xj = gather_rows(X_proj, ctx.ids)                     # [B, C, H*O]
-    xj = xj + _pos_encodings(params, cfg, ctx, W_fold=W[d:])
+    xj = xj + _pos_encodings(params, cfg, ctx, W_fold=W[d:], out_dtype=kd)
     if "b" in lp["lin_r"]:
-        xj = xj + lp["lin_r"]["b"]
+        xj = xj + lp["lin_r"]["b"].astype(kd)
     return xj
 
 
