@@ -82,9 +82,13 @@ def main():
     ap.add_argument("--no-ell", action="store_true",
                     help="disable the hybrid ELL SpMM (A/B: COO "
                          "gather+segment_sum propagation instead)")
-    ap.add_argument("--bf16", action="store_true",
+    ap.add_argument("--bf16", action="store_true", default=True,
                     help="matmul_dtype=bfloat16: bf16 MXU matmuls, bf16 "
-                         "key tables/gathers, f32 softmax+accumulation")
+                         "key tables/gathers, f32 softmax+accumulation "
+                         "(default; the TPU-native production mode — "
+                         "measured 255->202 ms/step on v5e collab-like)")
+    ap.add_argument("--f32", dest="bf16", action="store_false",
+                    help="full-f32 A/B variant")
     ap.add_argument("--details-out", type=str, default="bench_details.json")
     args = ap.parse_args()
 
