@@ -164,7 +164,8 @@ class PaddedRows:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["nb", "slot_edge", "ov_src", "ov_dst", "ov_edge"],
+    data_fields=["nb", "slot_edge", "ov_src", "ov_dst", "ov_edge",
+                 "w_slots", "ov_w"],
     meta_fields=["cap", "num_nodes", "num_edges"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -196,10 +197,30 @@ class ELLAdjacency:
     cap: int
     num_nodes: int
     num_edges: int
+    # static GCN-norm weights laid out for the slots (unmasked training /
+    # eval; per-batch masked weights re-gather from w_norm instead)
+    w_slots: Optional[jnp.ndarray] = None  # [N, cap] f32, pad 0.0
+    ov_w: Optional[jnp.ndarray] = None     # [E_ov] f32
 
-    # relative cost of an overflow edge (gather + scatter-add) vs an ELL
-    # slot (gather + multiply-add), from the v5e probe above
-    _OVERFLOW_COST = 2.5
+    # Relative cost of an overflow edge (scatter-add) vs an ELL slot
+    # (gather + multiply-add). Per-row latencies measured on v5e via the
+    # step profile (scripts/profile_step.py): scatter ~13 ns/row vs slot
+    # gather ~2 ns/row, both latency- not bandwidth-bound -> ~6.5.
+    # (Round-2's first guess of 2.5 chose cap=8 on the collab-like graph,
+    # leaving 60% of edges in the overflow scatter — the profile showed
+    # the overflow path then costs nearly as much as plain COO.)
+    _OVERFLOW_COST = 6.5
+
+    def with_weights(self, w_norm: np.ndarray) -> "ELLAdjacency":
+        """Attach static slot-laid-out weights (host, numpy)."""
+        w_ext = np.concatenate(
+            [np.asarray(w_norm, np.float32), np.zeros(1, np.float32)]
+        )
+        return dataclasses.replace(
+            self,
+            w_slots=jnp.asarray(w_ext[np.asarray(self.slot_edge)]),
+            ov_w=jnp.asarray(w_ext[np.asarray(self.ov_edge)]),
+        )
 
     @staticmethod
     def from_sorted_coo(
@@ -258,6 +279,8 @@ class ELLAdjacency:
         "ppr_rows",
         "degree",
         "ell",
+        "w_norm",
+        "w_diag",
     ],
     meta_fields=["num_nodes", "num_edges"],
 )
@@ -286,3 +309,8 @@ class GraphBundle:
     # hybrid ELL layout of (edge_src, edge_dst) for the scatter-free
     # SpMM; None -> the COO gather+segment_sum path
     ell: Optional[ELLAdjacency] = None
+    # host-precomputed static GCN normalization of edge_w (unmasked
+    # training + eval; ~23 ms/step of in-jit recompute on v5e otherwise).
+    # Per-batch masked weights (--mask-input) recompute in-jit.
+    w_norm: Optional[jnp.ndarray] = None   # [E] f32
+    w_diag: Optional[jnp.ndarray] = None   # [N] f32 self-loop coefficient

@@ -66,17 +66,28 @@ def gcn_apply(
     train: bool = False,
     mm_dtype=None,
     ell=None,
+    norm=None,
 ) -> jnp.ndarray:
     # Normalization depends only on the (possibly batch-masked) weights;
     # compute once and share across layers (the reference's gcn_cache
-    # caches exactly this inside GCNConv, run.py:102-116).
-    w_norm, diag = spmm.gcn_norm_device(edge_src, edge_dst, edge_w, num_nodes)
+    # caches exactly this inside GCNConv, run.py:102-116). ``norm`` is the
+    # host-precomputed (w_norm, diag) for the static unmasked weights
+    # (GraphBundle.w_norm/w_diag) — ~23 ms/step cheaper on v5e.
+    if norm is not None:
+        w_norm, diag = norm
+    else:
+        w_norm, diag = spmm.gcn_norm_device(
+            edge_src, edge_dst, edge_w, num_nodes
+        )
+    # with a static norm the ELL slot weights are prelaid (with_weights)
+    ell_static = norm is not None and ell is not None and ell.w_slots is not None
     lns = params.get("lns")
     for i, conv in enumerate(params["convs"]):
         xi = nn.matmul(x, conv["w"], mm_dtype)
         if ell is not None:
             xi = spmm.spmm_ell(
-                ell, w_norm, xi, diag=diag, gather_dtype=mm_dtype
+                ell, None if ell_static else w_norm, xi, diag=diag,
+                gather_dtype=mm_dtype,
             )
         else:
             xi = spmm.spmm(

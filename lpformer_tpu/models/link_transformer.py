@@ -116,6 +116,10 @@ def propagate(
     if train and cfg.feat_drop > 0 and rng is not None:
         x = nn.dropout(jax.random.fold_in(rng, 0), x, cfg.feat_drop, train)
     w = graph.edge_w if edge_w is None else edge_w
+    # host-precomputed norm is only valid for the bundle's own weights
+    norm = None
+    if edge_w is None and getattr(graph, "w_norm", None) is not None:
+        norm = (graph.w_norm, graph.w_diag)
     x = gcn_apply(
         params["node_encoder"],
         x,
@@ -130,6 +134,7 @@ def propagate(
         train=train,
         mm_dtype=cfg.mm_dtype,
         ell=getattr(graph, "ell", None),
+        norm=norm,
     )
     return nn.layer_norm_apply(params["gnn_norm"], x)
 

@@ -135,8 +135,13 @@ def _spmm_ell_raw(ell, w_norm, x, diag, gather_dtype):
     d = x.shape[-1]
     bytes_per = jnp.dtype(gather_dtype or x.dtype).itemsize
     kc = int(max(1, min(8, 256e6 // max(n * d * bytes_per, 1))))
-    w_ext = jnp.concatenate([w_norm, jnp.zeros((1,), w_norm.dtype)])
-    w_slots = w_ext[ell.slot_edge]                       # [N, cap]
+    if w_norm is None:
+        # static precomputed slot weights (ELLAdjacency.with_weights)
+        w_slots, ov_w = ell.w_slots, ell.ov_w
+    else:
+        w_ext = jnp.concatenate([w_norm, jnp.zeros((1,), w_norm.dtype)])
+        w_slots = w_ext[ell.slot_edge]                   # [N, cap]
+        ov_w = w_ext[ell.ov_edge]
     xg = x if gather_dtype is None else x.astype(gather_dtype)
 
     pad = (-cap) % kc
@@ -161,7 +166,7 @@ def _spmm_ell_raw(ell, w_norm, x, diag, gather_dtype):
         out, _ = jax.lax.scan(body, acc0, (nb_s, ws_s))
 
     if ell.ov_src.shape[0]:
-        g = xg[ell.ov_src].astype(x.dtype) * w_ext[ell.ov_edge][:, None]
+        g = xg[ell.ov_src].astype(x.dtype) * ov_w[:, None]
         out = out + jax.ops.segment_sum(
             g, ell.ov_dst, num_segments=n, indices_are_sorted=True
         )
@@ -192,8 +197,12 @@ def _spmm_ell_bwd(gather_dtype, res, ct):
         ell, nb=f0(ell.nb), slot_edge=f0(ell.slot_edge),
         ov_src=f0(ell.ov_src), ov_dst=f0(ell.ov_dst),
         ov_edge=f0(ell.ov_edge),
+        w_slots=None if ell.w_slots is None else jnp.zeros_like(ell.w_slots),
+        ov_w=None if ell.ov_w is None else jnp.zeros_like(ell.ov_w),
     )
-    return ell_ct, jnp.zeros_like(w_norm), dx, (
+    return ell_ct, (
+        None if w_norm is None else jnp.zeros_like(w_norm)
+    ), dx, (
         None if diag is None else jnp.zeros_like(diag)
     )
 

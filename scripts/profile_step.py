@@ -1,0 +1,118 @@
+"""Op-level TPU profile of the bench training step.
+
+jax.profiler.trace works through the axon tunnel (device pid events with
+per-fusion durations). This traces a few steps of the exact bench-default
+step (bf16, ELL) and prints the top HLO ops by total device time, so
+optimization targets are chosen from measurement.
+
+Usage: python scripts/profile_step.py [--f32] [--no-ell] [--steps N]
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--f32", action="store_true")
+    ap.add_argument("--no-ell", action="store_true")
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--out", type=str, default="/tmp/step_trace")
+    ap.add_argument("--top", type=int, default=40)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lpformer_tpu.data.synthetic import synthetic_dataset
+    from lpformer_tpu.models import LPFormerConfig, init_lpformer
+    from lpformer_tpu.train import make_optimizer, make_train_step
+    from lpformer_tpu.train.step import TrainState
+
+    ds = synthetic_dataset(
+        seed=0, num_nodes=50_000, num_train=400_000, num_eval=1000,
+        feat_dim=128, eps=5e-4, adj_cap=96, ppr_cap=256,
+    )
+    if args.no_ell and ds.graph.ell is not None:
+        import dataclasses
+
+        ds.graph = dataclasses.replace(ds.graph, ell=None)
+    cfg = LPFormerConfig(
+        dim=128, gnn_layers=3, budget_cn=64, budget_onehop=128,
+        budget_non1hop=128,
+        matmul_dtype="float32" if args.f32 else "bfloat16",
+    )
+    params = init_lpformer(jax.random.PRNGKey(0), cfg, in_dim=128)
+    opt = make_optimizer(1e-3, steps_per_epoch=100)
+    state = TrainState(params, opt.init(params), jnp.asarray(0, jnp.int32))
+    step = make_train_step(cfg, opt)
+
+    batch = 4096
+    tp = np.asarray(ds.train_pos)
+    reps = -(-batch // len(tp))
+    tp2 = np.tile(tp, (reps, 1))[:batch]
+    src = jnp.asarray(tp2[:, 0])
+    tgt = jnp.asarray(tp2[:, 1])
+    w = jnp.ones((batch,), jnp.float32)
+    bin_w = (ds.graph.edge_w > 0).astype(jnp.float32)
+    rng = jax.random.PRNGKey(1)
+
+    sargs = (ds.graph, ds.mask_mult_device, bin_w, src, tgt, w, rng)
+    t0 = time.time()
+    for _ in range(2):
+        state, loss = step(state, *sargs)
+    float(loss)  # true sync (block_until_ready lies through the tunnel)
+    print(f"[profile] warm ({time.time()-t0:.1f}s); tracing "
+          f"{args.steps} steps", file=sys.stderr)
+
+    with jax.profiler.trace(args.out):
+        for _ in range(args.steps):
+            state, loss = step(state, *sargs)
+        float(loss)
+
+    # -- parse the trace: device pid events aggregated by op name --
+    traces = sorted(glob.glob(args.out + "/**/*.trace.json.gz",
+                              recursive=True))
+    d = json.loads(gzip.open(traces[-1]).read())
+    ev = d.get("traceEvents", [])
+    dev_pids = {
+        e["pid"] for e in ev
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+        and "TPU" in str(e.get("args", {}).get("name", ""))
+    }
+    agg = {}
+    total = 0.0
+    for e in ev:
+        if e.get("ph") == "X" and e.get("pid") in dev_pids:
+            dur = e.get("dur", 0)  # microseconds
+            name = e.get("name", "?")
+            if name.startswith("jit_"):      # whole-program envelope
+                continue
+            agg[name] = agg.get(name, 0.0) + dur
+            total += dur
+    rows = sorted(agg.items(), key=lambda kv: -kv[1])
+    print(f"[profile] device total {total/1e3/args.steps:.1f} ms/step "
+          f"over {args.steps} steps, {len(rows)} distinct ops",
+          file=sys.stderr)
+    for name, dur in rows[: args.top]:
+        print(f"{dur/1e3/args.steps:9.2f} ms  {100*dur/max(total,1):5.1f}%"
+              f"  {name[:110]}")
+    print(json.dumps({
+        "metric": "profiled_device_ms_per_step",
+        "value": round(total / 1e3 / args.steps, 2),
+        "unit": "ms",
+        "trace": traces[-1],
+    }))
+
+
+if __name__ == "__main__":
+    main()
