@@ -79,7 +79,10 @@ def main():
             state, loss = step(state, *sargs)
         float(loss)
 
-    # -- parse the trace: device pid events aggregated by op name --
+    # -- parse the trace: device pid events, SELF time per op name --
+    # (an event's self time = dur minus the dur of events nested inside
+    # it on the same track; raw dur double-counts envelopes like the
+    # per-step "0"/"1"/"2" program events and while-loop bodies)
     traces = sorted(glob.glob(args.out + "/**/*.trace.json.gz",
                               recursive=True))
     d = json.loads(gzip.open(traces[-1]).read())
@@ -89,23 +92,45 @@ def main():
         if e.get("ph") == "M" and e.get("name") == "process_name"
         and "TPU" in str(e.get("args", {}).get("name", ""))
     }
-    agg = {}
-    total = 0.0
+    tracks = {}
     for e in ev:
         if e.get("ph") == "X" and e.get("pid") in dev_pids:
-            dur = e.get("dur", 0)  # microseconds
-            name = e.get("name", "?")
-            if name.startswith("jit_"):      # whole-program envelope
-                continue
-            agg[name] = agg.get(name, 0.0) + dur
-            total += dur
+            tracks.setdefault((e["pid"], e.get("tid")), []).append(e)
+
+    agg, meta, total = {}, {}, 0.0
+    for evs in tracks.values():
+        evs.sort(key=lambda e: (e["ts"], -e.get("dur", 0)))
+        stack = []  # (end_ts, event, child_time_accum)
+        for e in evs:
+            ts, dur = e["ts"], e.get("dur", 0)
+            while stack and stack[-1][0] <= ts + 1e-9:
+                end, pe, child = stack.pop()
+                self_us = max(pe.get("dur", 0) - child, 0.0)
+                name = pe.get("name", "?")
+                agg[name] = agg.get(name, 0.0) + self_us
+                meta.setdefault(name, pe.get("args", {}))
+                total += self_us
+            if stack:
+                stack[-1] = (stack[-1][0], stack[-1][1],
+                             stack[-1][2] + dur)
+            stack.append((ts + dur, e, 0.0))
+        while stack:
+            end, pe, child = stack.pop()
+            self_us = max(pe.get("dur", 0) - child, 0.0)
+            name = pe.get("name", "?")
+            agg[name] = agg.get(name, 0.0) + self_us
+            meta.setdefault(name, pe.get("args", {}))
+            total += self_us
+
     rows = sorted(agg.items(), key=lambda kv: -kv[1])
-    print(f"[profile] device total {total/1e3/args.steps:.1f} ms/step "
-          f"over {args.steps} steps, {len(rows)} distinct ops",
+    print(f"[profile] device self-time total {total/1e3/args.steps:.1f} "
+          f"ms/step over {args.steps} steps, {len(rows)} distinct ops",
           file=sys.stderr)
     for name, dur in rows[: args.top]:
+        a = meta.get(name, {})
+        detail = str(a.get("long_name") or a.get("tf_op") or "")[:90]
         print(f"{dur/1e3/args.steps:9.2f} ms  {100*dur/max(total,1):5.1f}%"
-              f"  {name[:110]}")
+              f"  {name[:60]}  {detail}")
     print(json.dumps({
         "metric": "profiled_device_ms_per_step",
         "value": round(total / 1e3 / args.steps, 2),
