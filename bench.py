@@ -27,6 +27,11 @@ import sys
 import time
 
 
+def _ell_caps(ell):
+    caps = getattr(ell, "caps", None)
+    return list(caps) if caps is not None else ell.cap
+
+
 def _time_steps(fn, args, n_warmup=2, n_iter=8):
     """Time steps with the state threaded through (forcing sequential
     device execution) and a single scalar host fetch as the only sync.
@@ -144,7 +149,7 @@ def main():
         ds.graph = dataclasses.replace(ds.graph, ell=None)
     print(f"[bench] dataset built in {time.time()-t0:.1f}s "
           f"(adj cap {ds.graph.adj_rows.cap}, ppr cap {ds.graph.ppr_rows.cap}, "
-          f"ell cap {None if ds.graph.ell is None else ds.graph.ell.cap})",
+          f"ell caps {None if ds.graph.ell is None else _ell_caps(ds.graph.ell)})",
           file=sys.stderr)
 
     cfg = LPFormerConfig(
@@ -225,7 +230,7 @@ def main():
         "preset": args.preset or "default",
         "pallas_attention": bool(args.pallas),
         "ell_spmm": ds.graph.ell is not None,
-        "ell_cap": None if ds.graph.ell is None else ds.graph.ell.cap,
+        "ell_cap": None if ds.graph.ell is None else _ell_caps(ds.graph.ell),
         "matmul_dtype": cfg.matmul_dtype,
         "grad_accum": args.grad_accum,
         "step_ms": round(dt * 1e3, 2),
@@ -322,9 +327,12 @@ def _bench_kernels(cfg, ds, args, jax, jnp):
     est = spmm_roofline(3 * e, dim, dt)  # fwd + dX via A^T + (no dW)
     results["spmm_fwd_bwd"] = (dt, est)
 
-    # ---- hybrid ELL SpMM (scatter-free main path) ----
+    # ---- bucketed/hybrid ELL SpMM (scatter-free main path) ----
     if graph.ell is not None:
-        from lpformer_tpu.ops.spmm import spmm_ell
+        from lpformer_tpu.graph.containers import BucketedELL
+        from lpformer_tpu.ops.spmm import spmm_bell, spmm_ell
+        if isinstance(graph.ell, BucketedELL):
+            spmm_ell = spmm_bell
 
         ell_ops = (graph.ell, graph.edge_w, x0)
 

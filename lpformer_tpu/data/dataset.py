@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from lpformer_tpu.graph.containers import (
+    BucketedELL,
     CSRGraph,
     ELLAdjacency,
     GraphBundle,
@@ -122,13 +123,13 @@ def build_graph_bundle(
     dinv = 1.0 / np.sqrt(deg_w)
     w_norm = (dinv[ps_] * pw_ * dinv[pd_]).astype(np.float32)
     w_diag = (dinv * dinv).astype(np.float32)
+    # degree-bucketed ELL: scatter-free SpMM with ~zero slot waste and no
+    # overflow path (host build keeps everything numpy until the end)
     ell = (
-        ELLAdjacency.from_sorted_coo(ps_, pd_, num_nodes)
+        BucketedELL.from_sorted_coo(ps_, pd_, num_nodes, w_norm=w_norm)
         if build_ell
         else None
     )
-    if ell is not None:
-        ell = ell.with_weights(w_norm)
     return GraphBundle(
         x=jnp.asarray(x, jnp.float32),
         edge_src=jnp.asarray(ps_, jnp.int32),

@@ -79,13 +79,18 @@ def gcn_apply(
         w_norm, diag = spmm.gcn_norm_device(
             edge_src, edge_dst, edge_w, num_nodes
         )
-    # with a static norm the ELL slot weights are prelaid (with_weights)
+    # with a static norm the ELL slot weights are prelaid at build time
     ell_static = norm is not None and ell is not None and ell.w_slots is not None
+    from lpformer_tpu.graph.containers import BucketedELL
+
+    spmm_fn = (
+        spmm.spmm_bell if isinstance(ell, BucketedELL) else spmm.spmm_ell
+    )
     lns = params.get("lns")
     for i, conv in enumerate(params["convs"]):
         xi = nn.matmul(x, conv["w"], mm_dtype)
         if ell is not None:
-            xi = spmm.spmm_ell(
+            xi = spmm_fn(
                 ell, None if ell_static else w_norm, xi, diag=diag,
                 gather_dtype=mm_dtype,
             )

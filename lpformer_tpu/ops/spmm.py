@@ -226,6 +226,113 @@ def spmm_ell(
     return _spmm_ell_raw(ell, w_norm, x, diag, gather_dtype)
 
 
+# --------------------------------------------------------------------------
+# degree-bucketed ELL SpMM (no overflow, no scatter at all)
+# --------------------------------------------------------------------------
+
+def _tier_sweep(nb, ws, xg, out_dtype, kc):
+    """sum_k ws[:, k] * x[nb[:, k]] for one [Nb, cap] tier, chunked over
+    the slot axis so the gathered transient stays bounded."""
+    n_t, cap = nb.shape
+    d = xg.shape[-1]
+    pad = (-cap) % kc
+    if pad:
+        nb = jnp.concatenate([nb, jnp.zeros((n_t, pad), nb.dtype)], axis=1)
+        ws = jnp.concatenate([ws, jnp.zeros((n_t, pad), ws.dtype)], axis=1)
+    nsteps = (cap + pad) // kc
+
+    def body(acc, xs):
+        nb_c, w_c = xs
+        g = xg[nb_c.reshape(-1)].reshape(n_t, kc, d).astype(out_dtype)
+        return acc + jnp.einsum("nk,nkd->nd", w_c, g), None
+
+    if nsteps == 1:
+        out, _ = body(jnp.zeros((n_t, d), out_dtype), (nb, ws))
+    else:
+        nb_s = jnp.moveaxis(nb.reshape(n_t, nsteps, kc), 1, 0)
+        ws_s = jnp.moveaxis(ws.reshape(n_t, nsteps, kc), 1, 0)
+        out, _ = jax.lax.scan(
+            body, jnp.zeros((n_t, d), out_dtype), (nb_s, ws_s)
+        )
+    return out
+
+
+def _spmm_bell_raw(bell, w_norm, x, diag, gather_dtype):
+    """out[v] = sum_{(u,v) in E} w_uv * x[u]  (+ diag[v] * x[v]) over a
+    :class:`~lpformer_tpu.graph.containers.BucketedELL`: per degree tier
+    a dense gather+einsum, then one [N]-row gather to undo the tier
+    permutation. No scatter-add in either direction (the symmetric
+    backward runs the same sweeps on the cotangent)."""
+    n, d = x.shape
+    xg = x if gather_dtype is None else x.astype(gather_dtype)
+    bytes_per = jnp.dtype(gather_dtype or x.dtype).itemsize
+    w_ext = (
+        None if w_norm is None
+        else jnp.concatenate([w_norm, jnp.zeros((1,), w_norm.dtype)])
+    )
+    outs = []
+    for i, cap in enumerate(bell.caps):
+        nb = bell.nbs[i]
+        ws = bell.w_slots[i] if w_norm is None else w_ext[bell.slot_edges[i]]
+        kc = int(max(1, min(cap,
+                            256e6 // max(nb.shape[0] * d * bytes_per, 1))))
+        outs.append(_tier_sweep(nb, ws, xg, x.dtype, kc))
+    cat = jnp.concatenate(outs + [jnp.zeros((1, d), x.dtype)], axis=0)
+    out = cat[bell.outmap]
+    if diag is not None:
+        out = out + diag[:, None] * x
+    return out
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _spmm_bell_symmetric(bell, w_norm, x, diag, gather_dtype):
+    return _spmm_bell_raw(bell, w_norm, x, diag, gather_dtype)
+
+
+def _spmm_bell_fwd(bell, w_norm, x, diag, gather_dtype):
+    return _spmm_bell_raw(bell, w_norm, x, diag, gather_dtype), (
+        bell, w_norm, diag
+    )
+
+
+def _spmm_bell_bwd(gather_dtype, res, ct):
+    """Symmetric A: d/dx (A_hat x) = A_hat ct — the same scatter-free
+    sweeps on the cotangent."""
+    bell, w_norm, diag = res
+    dx = _spmm_bell_raw(bell, w_norm, ct, diag, gather_dtype)
+    import numpy as _np
+
+    def z(a):
+        if jnp.issubdtype(a.dtype, jnp.floating):
+            return jnp.zeros_like(a)
+        return _np.zeros(a.shape, dtype=jax.dtypes.float0)
+
+    bell_ct = jax.tree_util.tree_map(z, bell)
+    return bell_ct, (
+        None if w_norm is None else jnp.zeros_like(w_norm)
+    ), dx, (
+        None if diag is None else jnp.zeros_like(diag)
+    )
+
+
+_spmm_bell_symmetric.defvjp(_spmm_bell_fwd, _spmm_bell_bwd)
+
+
+def spmm_bell(
+    bell,
+    w_norm: Optional[jnp.ndarray],
+    x: jnp.ndarray,
+    diag: Optional[jnp.ndarray] = None,
+    symmetric: bool = True,
+    gather_dtype=None,
+) -> jnp.ndarray:
+    """Scatter-free SpMM over a degree-bucketed ELL (same contract as
+    :func:`spmm`; ``w_norm=None`` uses the static prelaid slot weights)."""
+    if symmetric:
+        return _spmm_bell_symmetric(bell, w_norm, x, diag, gather_dtype)
+    return _spmm_bell_raw(bell, w_norm, x, diag, gather_dtype)
+
+
 def gcn_propagate(
     edge_src: jnp.ndarray,
     edge_dst: jnp.ndarray,

@@ -203,3 +203,114 @@ def test_gcn_apply_ell_matches_coo():
     got = gcn.gcn_apply(params, x, es, ed, ew, n, residual=True, ell=ell)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+# ----------------------------------------------------------------------
+# degree-bucketed ELL SpMM (scatter-free, no overflow path)
+# ----------------------------------------------------------------------
+
+def _bell_graph(seed, n=170, m=800, hub_deg=140, w_norm=False):
+    """Random graph + a hub + isolated nodes: exercises every tier shape,
+    the exact-max-degree last tier, and outmap's zeros-row fallback."""
+    from lpformer_tpu.graph.containers import BucketedELL
+
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n - 10, m)   # leave nodes n-10..n-1 isolated
+    dst = rng.integers(0, n - 10, m)
+    src = np.concatenate([src, rng.integers(0, n - 10, hub_deg)])
+    dst = np.concatenate([dst, np.full(hub_deg, 7)])
+    s, d, w = pp.symmetrize(src, dst, None, n)
+    s2, d2, w2 = pp.sort_by_dst(s.astype(np.int32), d.astype(np.int32), w, n)
+    wn = None
+    if w_norm:
+        es, ed, ew = jnp.asarray(s2), jnp.asarray(d2), jnp.asarray(w2)
+        wn = np.asarray(spmm.gcn_norm_device(es, ed, ew, n)[0])
+    bell = BucketedELL.from_sorted_coo(s2, d2, n, w_norm=wn)
+    return s2, d2, w2, bell, n
+
+
+def test_bell_builder_roundtrip():
+    """Every edge lands in exactly one slot of exactly one tier; outmap
+    places every row; tier caps bound the row degrees."""
+    s2, d2, _, bell, n = _bell_graph(0)
+    e = len(s2)
+    seen = np.zeros(e, bool)
+    total_rows = 0
+    for nb, se, cap in zip(bell.nbs, bell.slot_edges, bell.caps):
+        nb, se = np.asarray(nb), np.asarray(se)
+        assert nb.shape == se.shape and nb.shape[1] == cap
+        assert nb.shape[0] % 8 == 0
+        main = se < e
+        eidx = se[main]
+        assert not seen[eidx].any()
+        seen[eidx] = True
+        np.testing.assert_array_equal(s2[eidx], nb[main])
+        total_rows += nb.shape[0]
+    assert seen.all()
+    outmap = np.asarray(bell.outmap)
+    deg = np.bincount(d2, minlength=n)
+    assert (outmap[deg == 0] == total_rows).all()
+    assert (outmap[deg > 0] < total_rows).all()
+    # slot waste is bounded by the pow2 tiering (plus row padding)
+    assert bell.slot_total <= 2 * e + 8 * len(bell.caps) * max(bell.caps)
+    # hub row (deg ~2*140+) must live in the exact-max-degree last tier
+    assert bell.caps[-1] == int(deg.max())
+
+
+def test_bell_spmm_matches_coo():
+    s2, d2, w2, bell, n = _bell_graph(1)
+    x = jnp.asarray(
+        np.random.default_rng(2).standard_normal((n, 24)), jnp.float32
+    )
+    es, ed, ew = jnp.asarray(s2), jnp.asarray(d2), jnp.asarray(w2)
+    w_norm, diag = spmm.gcn_norm_device(es, ed, ew, n)
+    ref = spmm.spmm(es, ed, w_norm, x, n, diag=diag)
+    got = spmm.spmm_bell(bell, w_norm, x, diag=diag)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    ref2 = spmm.spmm(es, ed, w_norm, x, n, gather_dtype=jnp.bfloat16)
+    got2 = spmm.spmm_bell(bell, w_norm, x, gather_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_bell_static_weights_match_dynamic():
+    """Prelaid w_slots (host-precomputed norm) == in-jit normalized."""
+    s2, d2, w2, bell_w, n = _bell_graph(6, w_norm=True)
+    x = jnp.asarray(
+        np.random.default_rng(7).standard_normal((n, 16)), jnp.float32
+    )
+    es, ed, ew = jnp.asarray(s2), jnp.asarray(d2), jnp.asarray(w2)
+    w_norm, diag = spmm.gcn_norm_device(es, ed, ew, n)
+    got_static = spmm.spmm_bell(bell_w, None, x, diag=diag)
+    got_dyn = spmm.spmm_bell(bell_w, w_norm, x, diag=diag)
+    np.testing.assert_allclose(np.asarray(got_static), np.asarray(got_dyn),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_bell_spmm_grad_matches_coo():
+    s2, d2, w2, bell, n = _bell_graph(3)
+    x = jnp.asarray(
+        np.random.default_rng(4).standard_normal((n, 12)), jnp.float32
+    )
+    es, ed, ew = jnp.asarray(s2), jnp.asarray(d2), jnp.asarray(w2)
+    w_norm, diag = spmm.gcn_norm_device(es, ed, ew, n)
+    t = jnp.asarray(
+        np.random.default_rng(5).standard_normal((n, 12)), jnp.float32
+    )
+    g_ref = jax.grad(
+        lambda v: (spmm.spmm(es, ed, w_norm, v, n, diag=diag) * t).sum()
+    )(x)
+    g_bell = jax.grad(
+        lambda v: (spmm.spmm_bell(bell, w_norm, v, diag=diag) * t).sum()
+    )(x)
+    np.testing.assert_allclose(np.asarray(g_bell), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_bell_empty_graph():
+    from lpformer_tpu.graph.containers import BucketedELL
+
+    assert BucketedELL.from_sorted_coo(
+        np.zeros(0, np.int32), np.zeros(0, np.int32), 10
+    ) is None
