@@ -1,20 +1,40 @@
 """Gathers with TPU-friendly custom backward passes.
 
 XLA's automatic transpose of a gather is an *unsorted* scatter-add,
-which serializes badly on TPU. Two structured replacements:
+which serializes badly on TPU. Structured replacements:
 
-  * ``gather_rows(table, ids)`` — backward sorts the flattened cotangent
-    rows by id and accumulates with a sorted ``segment_sum`` (the fast
-    scatter path).
+  * ``gather_rows(table, ids)`` — on TPU at production sizes the
+    backward routes through the Pallas sorted tile-partitioned
+    scatter-add (``ops/pallas/scatter.py``): sort rows by id, then
+    one-hot x chunk MXU matmuls into VMEM tile accumulators. Small or
+    off-TPU cases use a plain ``segment_sum`` (measured faster than
+    sort + sorted segment_sum in XLA alone — the XLA sorted path still
+    lowers to the same scatter HLO).
   * ``spmm`` symmetric backward lives in ops/spmm.py: for a symmetric
     adjacency, d/dx of A@x is A@ct — the same dst-sorted kernel, no
     unsorted scatter at all.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# flattened-row threshold below which the Pallas scatter's fixed costs
+# (sort + permute + worklist) outweigh the serialized-scatter savings
+_PALLAS_MIN_ROWS = 65536
+
+
+def _use_pallas_scatter(m: int, d: int) -> bool:
+    if os.environ.get("LPFORMER_TPU_NO_PALLAS_SCATTER"):
+        return False
+    return (
+        jax.default_backend() == "tpu"
+        and m >= _PALLAS_MIN_ROWS
+        and d % 128 == 0
+    )
 
 
 @jax.custom_vjp
@@ -30,16 +50,21 @@ def _gather_fwd(table, ids):
 
 
 def _gather_bwd(res, ct):
-    # Measured on v5e at [4096, 320] ids into [50001, 128]: the plain
-    # unsorted segment_sum (22 ms) beats sort + sorted segment_sum
-    # (33 ms) — the sort costs more than the sorted-scatter saves.
     ids, n, proto = res
     dtype = proto.dtype
     d = ct.shape[-1]
-    dtable = jax.ops.segment_sum(
-        ct.reshape(-1, d).astype(jnp.float32), ids.reshape(-1),
-        num_segments=n,
-    )
+    ct2 = ct.reshape(-1, d)
+    if _use_pallas_scatter(ct2.shape[0], d):
+        from lpformer_tpu.ops.pallas.scatter import scatter_rows_add
+
+        dtable = scatter_rows_add(ids.reshape(-1), ct2, n)
+    else:
+        # measured on v5e at [4096, 320] ids into [50001, 128]: plain
+        # unsorted segment_sum (22 ms) beats XLA sort + sorted
+        # segment_sum (33 ms)
+        dtable = jax.ops.segment_sum(
+            ct2.astype(jnp.float32), ids.reshape(-1), num_segments=n,
+        )
     ids_ct = np.zeros(ids.shape, dtype=jax.dtypes.float0)
     # accumulate in f32, cast once to the primal dtype (bf16 tables)
     return dtable.astype(dtype), ids_ct

@@ -47,3 +47,59 @@ def test_spmm_symmetric_grad_matches_autodiff():
     np.testing.assert_allclose(
         np.asarray(g_custom), np.asarray(g_auto), rtol=1e-4, atol=1e-5
     )
+
+
+# ----------------------------------------------------------------------
+# Pallas sorted tile-partitioned scatter-add (gather backward on TPU)
+# ----------------------------------------------------------------------
+
+def _scatter_ref(ids, ct, n):
+    return jax.ops.segment_sum(
+        jnp.asarray(ct, jnp.float32).reshape(-1, ct.shape[-1]),
+        jnp.asarray(ids).reshape(-1), num_segments=n)
+
+
+def test_pallas_scatter_matches_segment_sum():
+    from lpformer_tpu.ops.pallas.scatter import scatter_rows_add
+
+    rng = np.random.default_rng(0)
+    for m, n, d in [(5000, 1200, 128), (700, 50, 128), (8192, 3000, 256),
+                    (64, 2000, 128)]:
+        ids = jnp.asarray(rng.integers(0, n, m).astype(np.int32))
+        ct = jnp.asarray(rng.standard_normal((m, d)).astype(np.float32))
+        got = scatter_rows_add(ids, ct, n, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(_scatter_ref(ids, ct, n)),
+            rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_scatter_skewed_and_bf16():
+    from lpformer_tpu.ops.pallas.scatter import scatter_rows_add
+
+    rng = np.random.default_rng(1)
+    # hub destination + many empty id tiles + sentinel padding
+    ids = np.zeros(4000, np.int32)
+    ids[:7] = 1499
+    ct = rng.standard_normal((4000, 128)).astype(np.float32)
+    got = scatter_rows_add(jnp.asarray(ids), jnp.asarray(ct), 1500,
+                           interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(_scatter_ref(ids, ct, 1500)),
+        rtol=1e-4, atol=1e-3)
+    ctb = jnp.asarray(ct, jnp.bfloat16)
+    got_b = scatter_rows_add(jnp.asarray(ids), ctb, 1500, interpret=True)
+    ref_b = _scatter_ref(ids, np.asarray(ctb, np.float32), 1500)
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(ref_b),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_pallas_scatter_2d_ids_shape():
+    from lpformer_tpu.ops.pallas.scatter import scatter_rows_add
+
+    rng = np.random.default_rng(2)
+    ids = jnp.asarray(rng.integers(0, 300, (16, 40)).astype(np.int32))
+    ct = jnp.asarray(rng.standard_normal((16, 40, 128)).astype(np.float32))
+    got = scatter_rows_add(ids, ct, 300, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(_scatter_ref(ids, ct, 300)),
+        rtol=1e-4, atol=1e-4)

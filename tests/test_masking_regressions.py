@@ -71,3 +71,20 @@ def test_negative_default_rank_roundtrip():
     found, (got,) = row_member_values(rows, q, (vals,), (jnp.int32(-2),))
     assert np.asarray(found).tolist() == [[True, True, False]]
     assert np.asarray(got).tolist() == [[7, 2**25, -2]]
+
+
+def test_rank_is_masked_row_gather_parity():
+    """The [U/128, 128] row-gather + lane-select formulation must agree
+    with the direct element gather for every lane/row edge case."""
+    from lpformer_tpu.ops import masking
+
+    rng = np.random.default_rng(9)
+    for u in [1, 5, 127, 128, 129, 4096, 10001]:
+        bm = jnp.asarray(rng.integers(0, 2, u).astype(bool))
+        ranks = jnp.asarray(rng.integers(-1, u, (33, 17)).astype(np.int32))
+        ref = np.asarray(bm)[np.clip(np.asarray(ranks), 0, u - 1)] & (
+            np.asarray(ranks) >= 0)
+        np.testing.assert_array_equal(
+            np.asarray(masking.rank_is_masked(bm, ranks)), ref)
+    assert not np.asarray(masking.rank_is_masked(
+        jnp.zeros((0,), bool), jnp.asarray([[-1, 0]], np.int32))).any()
