@@ -40,11 +40,11 @@ def _time_steps(fn, args, n_warmup=2, n_iter=8):
     state = args[0]
     for _ in range(n_warmup):
         state, loss = fn(state, *args[1:])
-    float(loss)  # true sync
+    float(loss.sum())  # true sync
     t0 = time.perf_counter()
     for _ in range(n_iter):
         state, loss = fn(state, *args[1:])
-    float(loss)  # true sync
+    float(loss.sum())  # true sync
     return (time.perf_counter() - t0) / n_iter
 
 
@@ -82,6 +82,11 @@ def main():
     ap.add_argument("--grad-accum", type=int, default=1,
                     help="micro-batches per optimizer step (presets may "
                          "set a default; 1 = monolithic step)")
+    ap.add_argument("--steps-per-call", type=int, default=8,
+                    help="optimizer steps fused into one jitted device "
+                         "loop (lax.scan); amortizes per-launch dispatch "
+                         "— ~38 ms/launch on the axon transport. 1 = one "
+                         "launch per step (the round-1 measurement mode)")
     ap.add_argument("--kernels", action="store_true",
                     help="per-kernel micro-benchmarks + roofline, then exit")
     ap.add_argument("--no-ell", action="store_true",
@@ -170,27 +175,40 @@ def main():
     params_naive = jax.tree_util.tree_map(lambda x: jnp.array(x), params)
     opt = make_optimizer(1e-3, steps_per_epoch=100)
     state = TrainState(params, opt.init(params), jnp.asarray(0, jnp.int32))
-    step = make_train_step(cfg, opt, grad_accum=args.grad_accum)
+    spc = max(1, args.steps_per_call)
+    step = make_train_step(
+        cfg, opt, grad_accum=args.grad_accum, steps_per_call=spc
+    )
 
     import numpy as np
 
     tp = np.asarray(ds.train_pos)
-    src = jnp.asarray(tp[: args.batch, 0] % ds.num_nodes)
-    tgt = jnp.asarray(tp[: args.batch, 1] % ds.num_nodes)
-    if len(tp) < args.batch:
-        reps = -(-args.batch // len(tp))
-        tp2 = np.tile(tp, (reps, 1))[: args.batch]
-        src = jnp.asarray(tp2[:, 0])
-        tgt = jnp.asarray(tp2[:, 1])
-    w = jnp.ones((args.batch,), jnp.float32)
+    need = args.batch * spc
+    if len(tp) < need:
+        tp = np.tile(tp, (-(-need // len(tp)), 1))
+    tp = tp[:need] % ds.num_nodes
     bin_w = (ds.graph.edge_w > 0).astype(jnp.float32)
     rng = jax.random.PRNGKey(1)
 
     t_compile = time.time()
-    step_args = (state, ds.graph, ds.mask_mult_device, bin_w, src, tgt, w, rng)
-    dt = _time_steps(step, step_args)
+    if spc > 1:
+        # device loop: K distinct batches per executable launch
+        srcs = jnp.asarray(tp[:, 0].reshape(spc, args.batch))
+        tgts = jnp.asarray(tp[:, 1].reshape(spc, args.batch))
+        ws = jnp.ones((spc, args.batch), jnp.float32)
+        live = jnp.ones((spc,), jnp.float32)
+        step_args = (state, ds.graph, ds.mask_mult_device, bin_w,
+                     srcs, tgts, ws, live, rng)
+    else:
+        src = jnp.asarray(tp[: args.batch, 0])
+        tgt = jnp.asarray(tp[: args.batch, 1])
+        w = jnp.ones((args.batch,), jnp.float32)
+        step_args = (state, ds.graph, ds.mask_mult_device, bin_w,
+                     src, tgt, w, rng)
+    dt = _time_steps(step, step_args) / spc
     print(
-        f"[bench] fused step: {dt*1e3:.1f} ms "
+        f"[bench] fused step: {dt*1e3:.1f} ms amortized over "
+        f"{spc} steps/launch "
         f"(compile+warmup {time.time()-t_compile:.1f}s)",
         file=sys.stderr,
     )
@@ -233,6 +251,7 @@ def main():
         "ell_cap": None if ds.graph.ell is None else _ell_caps(ds.graph.ell),
         "matmul_dtype": cfg.matmul_dtype,
         "grad_accum": args.grad_accum,
+        "steps_per_call": spc,
         "step_ms": round(dt * 1e3, 2),
         "links_per_s": round(links_per_s, 1),
         "vs_naive_port": round(vs_baseline, 3),

@@ -94,6 +94,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "a device mesh with row-sharded context state")
     p.add_argument("--grad-accum", type=int, default=1,
                    help="micro-batches per optimizer step (memory cap)")
+    p.add_argument("--steps-per-call", type=int, default=1,
+                   help="optimizer steps fused into one jitted device "
+                        "loop (amortizes per-launch dispatch overhead)")
     p.add_argument("--dump-att", action="store_true", default=False,
                    help="after training, dump attention weights over the "
                         "test positives to attention_weights.npz")
@@ -259,6 +262,7 @@ def main(argv=None):
         grad_accum=args.grad_accum,
         mesh=args.mesh,
         context_parallel=args.context_parallel,
+        steps_per_call=args.steps_per_call,
     )
 
     if args.checkpoint is not None:

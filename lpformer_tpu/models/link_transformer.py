@@ -112,6 +112,7 @@ def propagate(
 ) -> jnp.ndarray:
     """GNN node encoding + final LayerNorm -> X_node [N, dim]
     (reference: link_transformer.py:110-129, node_encoder.py:35-44)."""
+    params = nn.cast_matmul_weights(params, cfg.mm_dtype)
     x = graph.x
     if train and cfg.feat_drop > 0 and rng is not None:
         x = nn.dropout(jax.random.fold_in(rng, 0), x, cfg.feat_drop, train)
@@ -288,6 +289,11 @@ def _att_layer_apply_pallas(
     half = edge_x.shape[-1] // 2
     e1 = nn.linear_apply(lp["lin_l"], edge_x[:, :half], cfg.mm_dtype)
     e2 = nn.linear_apply(lp["lin_l"], edge_x[:, half:], cfg.mm_dtype)
+    if cfg.mm_dtype is not None:
+        # match the XLA path, where keys @ W_r runs in mm_dtype
+        # (nn.linear_apply in _project_keys): casting here lets the
+        # kernel stream the [B, C, Dk] table at half the HBM bytes
+        keys_in = keys_in.astype(cfg.mm_dtype)
     out = fused_link_attention(
         keys_in, e1 + e2, valid,
         lp["lin_r"]["w"], lp["lin_r"]["b"], lp["att"], lp["bias"],
@@ -399,6 +405,9 @@ def forward(
     (reference: link_transformer.py:82-107). Pass ``X_node`` to reuse a
     propagated encoding (the propagate-once eval paths,
     reference: testing.py:50-74,96-121)."""
+    # one convert per weight per program, not one per use site (the
+    # duplicates are CSE'd with propagate()/score_links()'s casts)
+    params = nn.cast_matmul_weights(params, cfg.mm_dtype)
     if X_node is None:
         X_node = propagate(
             params, cfg, graph, rng=rng, train=train, edge_w=prop_edge_w
@@ -437,6 +446,7 @@ def score_links(
     """sigmoid(mlp_score(h)) -> [B] link probabilities
     (reference: other_models.py:173-179)."""
     return nn.mlp_apply(
-        params["score"], h, drop=cfg.pred_drop, rng=rng, train=train,
+        nn.cast_matmul_weights(params["score"], cfg.mm_dtype), h,
+        drop=cfg.pred_drop, rng=rng, train=train,
         sigmoid=True, mm_dtype=cfg.mm_dtype,
     )

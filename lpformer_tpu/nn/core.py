@@ -75,6 +75,32 @@ def matmul(x: jnp.ndarray, w: jnp.ndarray, mm_dtype=None) -> jnp.ndarray:
     )
 
 
+def cast_matmul_weights(params, mm_dtype):
+    """Pre-cast every matmul kernel (2-D+ ``"w"`` leaves) to ``mm_dtype``.
+
+    ``matmul``'s per-call ``w.astype`` becomes a no-op afterwards, so a
+    program converts each weight ONCE instead of once per use site —
+    measured ~9 ms/step of pure per-op overhead in the v5e bench step
+    (42 [128,128] + 22 [2,128] converts at ~0.1 ms apiece). Gradients
+    still flow to the f32 leaves through the hoisted convert."""
+    if mm_dtype is None:
+        return params
+
+    def walk(d):
+        if isinstance(d, dict):
+            return {
+                k: (v.astype(mm_dtype)
+                    if k == "w" and hasattr(v, "ndim") and v.ndim >= 2
+                    else walk(v))
+                for k, v in d.items()
+            }
+        if isinstance(d, (list, tuple)):
+            return type(d)(walk(x) for x in d)
+        return d
+
+    return walk(params)
+
+
 def linear_apply(params: Dict, x: jnp.ndarray, mm_dtype=None) -> jnp.ndarray:
     y = matmul(x, params["w"], mm_dtype)
     if "b" in params:

@@ -200,11 +200,14 @@ def _bwd_kernel(keys_ref, q_ref, valid_ref, g_ref, m_ref, l_ref, delta_ref,
     dxj3 = axj3 + dpre3 * qb.reshape(bb, ct, ho)                # [bb, ct, O]
     dxj2 = dxj3.reshape(bb * ct, ho)
 
+    # both MXU passes run in the keys dtype (bf16 when the model's key
+    # tables are bf16; f32 accumulation via preferred_element_type)
+    dxj2c = dxj2.astype(keys2.dtype)
     dkeys_ref[:] = jnp.dot(
-        dxj2, w_ref[:].T, preferred_element_type=jnp.float32
-    ).reshape(bb, ct, dk)
+        dxj2c, w_ref[:].T, preferred_element_type=jnp.float32
+    ).reshape(bb, ct, dk).astype(dkeys_ref.dtype)
     dw_scr[:] = dw_scr[:] + jnp.dot(
-        keys2.T, dxj2, preferred_element_type=jnp.float32)
+        keys2.T, dxj2c, preferred_element_type=jnp.float32)
     drb_scr[:] = drb_scr[:] + jnp.sum(dxj3, axis=1)             # [bb, O]
     dq_scr[:] = dq_scr[:] + jnp.sum(dpre3 * xj3, axis=1)        # [bb, O]
 
@@ -227,7 +230,7 @@ def _bwd_call(keys, q, valid_f, g, m, l, delta, w_r, r_bias, att,
     return pl.pallas_call(
         _bwd_kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((b, c, dk), jnp.float32),
+            jax.ShapeDtypeStruct((b, c, dk), keys.dtype),
             jax.ShapeDtypeStruct((b, ho), jnp.float32),
             jax.ShapeDtypeStruct((dk, ho), jnp.float32),
             jax.ShapeDtypeStruct((1, ho), jnp.float32),
@@ -285,14 +288,14 @@ def _bwd_call(keys, q, valid_f, g, m, l, delta, w_r, r_bias, att,
 def _fused(keys, q, valid_f, w_r, r_bias, att, bias,
            block_b, c_tile, interpret):
     out, _, _ = _fwd_call(keys, q, valid_f, w_r, r_bias, att, bias,
-                          block_b, c_tile, interpret)
+                          block_b[0], c_tile, interpret)
     return out
 
 
 def _fused_fwd(keys, q, valid_f, w_r, r_bias, att, bias,
                block_b, c_tile, interpret):
     out, m, l = _fwd_call(keys, q, valid_f, w_r, r_bias, att, bias,
-                          block_b, c_tile, interpret)
+                          block_b[0], c_tile, interpret)
     return out, (keys, q, valid_f, w_r, r_bias, att, bias, m, l, out)
 
 
@@ -304,11 +307,11 @@ def _fused_bwd(block_b, c_tile, interpret, res, g):
     delta = jnp.broadcast_to(delta, (delta.shape[0], 128))
     dkeys, dq, dw, drb, datt = _bwd_call(
         keys, q, valid_f, g, m, l, delta, w_r, r_bias, att,
-        block_b, c_tile, interpret,
+        block_b[1], c_tile, interpret,
     )
     dbias = jnp.sum(g, axis=0)
-    return (dkeys, dq, jnp.zeros_like(valid_f), dw, drb.reshape(-1),
-            datt.reshape(att.shape), dbias)
+    return (dkeys, dq, jnp.zeros_like(valid_f), dw.astype(w_r.dtype),
+            drb.reshape(-1), datt.reshape(att.shape), dbias)
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)
@@ -338,19 +341,43 @@ def fused_link_attention(
     """
     assert heads == 1, "fused TPU kernel is specialized for num_heads == 1"
     b, c, dk = keys.shape
-    if block_b <= 0:
-        block_b = 8
-        while b % block_b != 0 and block_b > 1:
-            block_b //= 2
+    ho = w_r.shape[1]
     # lane-dim tiling wants C tiles of 128: pad the context axis with
     # invalid entries (masked out of the softmax)
     c_tile = min(128, c) if c % 128 == 0 or c < 128 else 128
+    kbytes = 2 if keys.dtype == jnp.bfloat16 else 4
+
+    def _fit_bb(bb, n_key_blocks, n_temps):
+        # Mosaic's scoped-VMEM limit is 16 MB. Per grid step the kernel
+        # holds n_key_blocks double-buffered [bb, ct, dk] key blocks
+        # (keys in; +dkeys out in the backward) plus ~n_temps live
+        # [bb*ct, ho] f32 intermediates on the stack (xj/z/dxj/...).
+        # bb=32 f32 bwd measured 16.27M (272K over); bb=32 bf16 bwd
+        # 19.38M — both OOM, so size bb to stay under ~14 MB.
+        while bb > 1 and (2 * n_key_blocks * bb * c_tile * dk * kbytes
+                          + n_temps * bb * c_tile * ho * 4) > 14 << 20:
+            bb //= 2
+        while b % bb != 0 and bb > 1:
+            bb //= 2
+        return bb
+
+    if block_b <= 0:
+        # bb=8 everywhere drowns in grid overhead (1536 steps at the
+        # collab-like shape); take the largest bb that fits each pass
+        bb_fwd = _fit_bb(32, 1, 4)
+        bb_bwd = _fit_bb(32, 2, 9)
+    else:
+        bb_fwd = bb_bwd = block_b
     c_pad = -(-c // c_tile) * c_tile
     if c_pad != c:
         keys = jnp.pad(keys, ((0, 0), (0, c_pad - c), (0, 0)))
         valid = jnp.pad(valid, ((0, 0), (0, c_pad - c)))
+    # bf16 key tables stay bf16 end-to-end: the [B, C, Dk] stream is the
+    # kernel's dominant HBM traffic in both directions (dots accumulate
+    # f32 via preferred_element_type, softmax stats are f32 throughout)
+    kdt = jnp.bfloat16 if keys.dtype == jnp.bfloat16 else jnp.float32
     return _fused(
-        keys.astype(jnp.float32), q.astype(jnp.float32),
-        valid.astype(jnp.float32), w_r, r_bias, att, bias,
-        block_b, c_tile, interpret,
+        keys.astype(kdt), q.astype(jnp.float32),
+        valid.astype(jnp.float32), w_r.astype(kdt), r_bias, att, bias,
+        (bb_fwd, bb_bwd), c_tile, interpret,
     )

@@ -106,6 +106,7 @@ def make_train_step(
     double_propagate: bool | None = None,
     donate: bool = True,
     grad_accum: int = 1,
+    steps_per_call: int = 1,
 ):
     """Build the jitted step:
     (state, graph, mult, bin_edge_w, batch_src, batch_tgt, weight, rng)
@@ -118,6 +119,18 @@ def make_train_step(
     semantics match the monolithic step exactly up to loss-term
     grouping; peak activation memory scales with the micro-batch. Use
     for high-degree configs (ddi/ppa-like) on 16GB chips.
+
+    ``steps_per_call`` > 1 returns a device loop instead: the jitted fn
+    takes K stacked batches ``src/tgt/w: [K, B]`` plus a ``live: [K]``
+    mask and runs K full optimizer steps in ONE program via
+    ``lax.scan``, returning per-step losses ``[K]``. Each scanned step
+    is exactly the single-step program (distinct negatives / dropout via
+    the per-step ``state.step`` fold); steps with ``live == 0`` leave
+    params, optimizer state, and the step counter untouched, so a padded
+    epoch tail is a no-op rather than a spurious Adam update. Dispatch
+    and host<->device transport costs amortize K-fold — on the axon
+    transport that overhead is ~38 ms per executable launch (measured
+    v5e, collab-like shape), which a K=8 loop turns into <5 ms/step.
     """
     if double_propagate is None:
         double_propagate = mask_input
@@ -185,4 +198,22 @@ def make_train_step(
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    if steps_per_call <= 1:
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    def multi_step(state: TrainState, graph, mult, bin_edge_w,
+                   srcs, tgts, ws, live, rng):
+        def body(st, xs):
+            s, t, w, lv = xs
+            st2, loss = step(st, graph, mult, bin_edge_w, s, t, w, rng)
+            # dead (padded) steps keep state bit-identical — a zero-grad
+            # Adam update would still decay moments / advance bias
+            # correction, which the reference's epoch loop never does
+            keep = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(lv > 0, a, b), st2, st
+            )
+            return keep, jnp.where(lv > 0, loss, 0.0)
+
+        return jax.lax.scan(body, state, (srcs, tgts, ws, live))
+
+    return jax.jit(multi_step, donate_argnums=(0,) if donate else ())

@@ -60,6 +60,8 @@ class TrainArgs:
     grad_accum: int = 1            # micro-batches per optimizer step
     mesh: Optional[str] = None     # "D,G" (data x graph) — train over a mesh
     context_parallel: bool = False  # shard the context axis over 'graph'
+    steps_per_call: int = 1        # optimizer steps fused into one jitted
+                                   # device loop (amortizes dispatch)
 
 
 def _iter_batches(rng: np.random.Generator, n: int, batch_size: int):
@@ -74,6 +76,30 @@ def _iter_batches(rng: np.random.Generator, n: int, batch_size: int):
             idx = np.concatenate([idx, pad])
             w[hi - lo:] = 0.0
         yield idx, w
+
+
+def _iter_step_groups(
+    rng: np.random.Generator, train_pos: np.ndarray, batch_size: int, k: int
+):
+    """Stack batches into groups of ``k`` for the multi-step device loop;
+    the last group is padded with dead (live=0) steps."""
+    srcs, tgts, ws = [], [], []
+    for idx, w in _iter_batches(rng, len(train_pos), batch_size):
+        srcs.append(train_pos[idx, 0])
+        tgts.append(train_pos[idx, 1])
+        ws.append(w)
+        if len(srcs) == k:
+            yield (np.stack(srcs), np.stack(tgts), np.stack(ws),
+                   np.ones(k, np.float32))
+            srcs, tgts, ws = [], [], []
+    if srcs:
+        live = np.zeros(k, np.float32)
+        live[: len(srcs)] = 1.0
+        while len(srcs) < k:
+            srcs.append(np.zeros_like(srcs[0]))
+            tgts.append(np.zeros_like(tgts[0]))
+            ws.append(np.zeros_like(ws[0]))
+        yield np.stack(srcs), np.stack(tgts), np.stack(ws), live
 
 
 def run_eval(
@@ -172,6 +198,10 @@ def train_loop(
             raise ValueError("--mask-input is not supported with --mesh")
         if args.grad_accum > 1:
             raise ValueError("--grad-accum is not supported with --mesh")
+        if args.steps_per_call > 1:
+            raise ValueError(
+                "--steps-per-call is not supported with --mesh"
+            )
         d, g = parse_mesh(args.mesh)
         ndev = d * g
         link_dev = d if args.context_parallel else ndev
@@ -204,13 +234,21 @@ def train_loop(
             mask_input=args.mask_input,
             double_propagate=args.double_propagate,
             grad_accum=args.grad_accum,
+            steps_per_call=args.steps_per_call,
         )
         bin_w = (ds.graph.edge_w > 0).astype(jnp.float32)
 
-        def step_call(state, src, tgt, w):
-            return train_step(
-                state, ds.graph, mult, bin_w, src, tgt, w, step_key
-            )
+        if args.steps_per_call > 1:
+            def group_call(state, srcs, tgts, ws, live):
+                return train_step(
+                    state, ds.graph, mult, bin_w, srcs, tgts, ws, live,
+                    step_key,
+                )
+        else:
+            def step_call(state, src, tgt, w):
+                return train_step(
+                    state, ds.graph, mult, bin_w, src, tgt, w, step_key
+                )
 
     best_valid, kill_cnt = 0.0, 0
     train_pos = np.asarray(ds.train_pos)
@@ -222,13 +260,30 @@ def train_loop(
         # ONE scalar at the epoch boundary.
         total_loss = jnp.zeros((), jnp.float32)
         total_examples = 0.0
-        for idx, w in _iter_batches(data_rng, len(train_pos), args.batch_size):
-            src = jnp.asarray(train_pos[idx, 0])
-            tgt = jnp.asarray(train_pos[idx, 1])
-            state, loss = step_call(state, src, tgt, jnp.asarray(w))
-            n_real = float(w.sum())
-            total_loss = total_loss + loss * n_real
-            total_examples += n_real
+        if args.steps_per_call > 1 and not args.mesh:
+            # K optimizer steps per executable launch (lax.scan device
+            # loop): same math, 1/K the dispatch overhead
+            for srcs, tgts, ws, live in _iter_step_groups(
+                data_rng, train_pos, args.batch_size, args.steps_per_call
+            ):
+                state, losses = group_call(
+                    state, jnp.asarray(srcs), jnp.asarray(tgts),
+                    jnp.asarray(ws), jnp.asarray(live),
+                )
+                total_loss = total_loss + jnp.sum(
+                    losses * jnp.asarray(ws.sum(axis=1))
+                )
+                total_examples += float(ws.sum())
+        else:
+            for idx, w in _iter_batches(
+                data_rng, len(train_pos), args.batch_size
+            ):
+                src = jnp.asarray(train_pos[idx, 0])
+                tgt = jnp.asarray(train_pos[idx, 1])
+                state, loss = step_call(state, src, tgt, jnp.asarray(w))
+                n_real = float(w.sum())
+                total_loss = total_loss + loss * n_real
+                total_examples += n_real
         if args.verbose:
             print(
                 f"Epoch {epoch} Loss: {float(total_loss) / total_examples:.4f} "

@@ -170,3 +170,33 @@ def test_model_grads_with_pallas_flag():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4
         )
+
+
+def test_kernel_bf16_keys_close_to_f32():
+    """bf16 key tables ride the kernel end-to-end (the wrapper no longer
+    upcasts); outputs and grads must track the f32 path within bf16
+    tolerance."""
+    rng = np.random.default_rng(7)
+    b, c, dk, ho = 16, 24, 32, 16
+    keys = jnp.asarray(rng.standard_normal((b, c, dk)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((b, ho)).astype(np.float32))
+    valid = jnp.asarray(rng.random((b, c)) > 0.3)
+    w_r = jnp.asarray(rng.standard_normal((dk, ho)).astype(np.float32) / 4)
+    r_bias = jnp.asarray(rng.standard_normal(ho).astype(np.float32) / 10)
+    att = jnp.asarray(rng.standard_normal((1, ho)).astype(np.float32) / 4)
+    bias = jnp.asarray(rng.standard_normal(ho).astype(np.float32) / 10)
+
+    def loss(keys, w_r, cast):
+        k = keys.astype(jnp.bfloat16) if cast else keys
+        out = fused_link_attention(
+            k, q, valid, w_r, r_bias, att, bias, heads=1, interpret=True)
+        return jnp.sum(out * jnp.cos(jnp.arange(out.size).reshape(out.shape)))
+
+    v32, g32 = jax.value_and_grad(loss, argnums=(0, 1))(keys, w_r, False)
+    v16, g16 = jax.value_and_grad(loss, argnums=(0, 1))(keys, w_r, True)
+    assert g16[0].dtype == jnp.float32  # cast VJP restores param dtype
+    np.testing.assert_allclose(float(v16), float(v32), rtol=3e-2)
+    for a, b_ in zip(g16, g32):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b_, np.float32),
+                                   rtol=1e-1, atol=5e-2)
