@@ -84,7 +84,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also checkpoint every N epochs (crash recovery)")
     p.add_argument("--resume", type=str, default=None,
                    help="checkpoint path to resume training from")
-    p.add_argument("--pallas-attention", action="store_true", default=False)
+    p.add_argument("--pallas-attention", dest="pallas_attention",
+                   action="store_true", default=None,
+                   help="force the fused Pallas PE+attention kernel "
+                        "(default: auto — on when running on TPU)")
+    p.add_argument("--no-pallas-attention", dest="pallas_attention",
+                   action="store_false",
+                   help="force the XLA dense-masked attention path")
     p.add_argument("--context-parallel", action="store_true",
                    help="with --mesh: shard each link's context set over "
                         "the 'graph' axis (merged two-pass softmax) — for "

@@ -36,8 +36,13 @@ class LPFormerConfig:
     # (the TPU-native precision; parity tests use float32)
     matmul_dtype: str = "float32"
 
-    # use the fused Pallas attention kernel on the eval path
-    use_pallas_attention: bool = False
+    # fused Pallas PE+attention kernel (ops/pallas/pe_attention.py) for
+    # the pairwise block, train AND eval. None = auto: on when running
+    # on TPU with num_heads == 1 and tile-aligned class budgets
+    # (measured 132.6 -> 91.8 ms/step on the v5e collab-like bench).
+    # True forces it (falls back if ineligible), False forces the XLA
+    # dense-masked path.
+    use_pallas_attention: "bool | None" = None
 
     # rematerialize the per-link pairwise block (context keys + attention)
     # in backward: trades recompute for not holding the [B, C, 2*dim]

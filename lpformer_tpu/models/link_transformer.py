@@ -271,33 +271,79 @@ def _att_layer_apply(
     return out, alpha
 
 
+def _pe_tiles(cfg: LPFormerConfig) -> Tuple[int, tuple]:
+    """(c_tile, per-tile class indices) for the fused PE+attention kernel;
+    (0, ()) when the class budgets don't align to a single-class tiling."""
+    from lpformer_tpu.ops.pallas.pe_attention import pe_attention_tile
+
+    c = cfg.context
+    budgets = [c.budget_cn]
+    if cfg.mask_mode != "cn":
+        budgets.append(c.budget_onehop)
+    if cfg.mask_mode == "all":
+        budgets.append(c.budget_non1hop)
+    ct = pe_attention_tile(budgets)
+    if ct == 0:
+        return 0, ()
+    tiles = []
+    for k, bgt in enumerate(budgets):
+        tiles.extend([k] * (bgt // ct))
+    return ct, tuple(tiles)
+
+
 def _att_layer_apply_pallas(
     lp: Dict,
+    params: Dict,
     cfg: LPFormerConfig,
     edge_x: jnp.ndarray,     # [B, 2*q]
-    keys_in: jnp.ndarray,    # [B, C, 2*dim] = [node feats ‖ pe]
-    valid: jnp.ndarray,      # [B, C]
+    xj_node: jnp.ndarray,    # [B, C, H*O] gathered projected node keys
+    ctx: ContextTables,
+    c_tile: int,
+    tile_classes: tuple,
     *,
     rng: Optional[jax.Array] = None,
     train: bool = False,
 ) -> Tuple[jnp.ndarray, None]:
-    """Fused flash-style kernel, train and eval: streams C-tiles of the
-    explicit [x_v ‖ pe_v] key table through VMEM, so [B, C, H*O]
-    activations never hit HBM in either direction."""
-    from lpformer_tpu.ops.pallas import fused_link_attention
+    """Fully-fused pairwise block (ops/pallas/pe_attention.py): the PPR
+    positional-encoding MLPs, the key projection, and the masked per-link
+    attention run in ONE kernel that streams C-tiles through VMEM — no
+    [B, C, dim] PE/key/score tensor exists in HBM in either direction.
+    The folding below happens in plain jnp so the kernel's stacked-weight
+    grads flow back to the true parameter leaves."""
+    from lpformer_tpu.ops.pallas.pe_attention import fused_pe_link_attention
 
     half = edge_x.shape[-1] // 2
     e1 = nn.linear_apply(lp["lin_l"], edge_x[:, :half], cfg.mm_dtype)
     e2 = nn.linear_apply(lp["lin_l"], edge_x[:, half:], cfg.mm_dtype)
-    if cfg.mm_dtype is not None:
-        # match the XLA path, where keys @ W_r runs in mm_dtype
-        # (nn.linear_apply in _project_keys): casting here lets the
-        # kernel stream the [B, C, Dk] table at half the HBM bytes
-        keys_in = keys_in.astype(cfg.mm_dtype)
-    out = fused_link_attention(
-        keys_in, e1 + e2, valid,
-        lp["lin_r"]["w"], lp["lin_r"]["b"], lp["att"], lp["bias"],
-        heads=1,
+
+    d = cfg.dim
+    W_fold = lp["lin_r"]["w"][d:].astype(jnp.float32)          # [dim, H*O]
+    r_bias = lp["lin_r"].get("b")
+    ho = W_fold.shape[1]
+    if r_bias is None:
+        r_bias = jnp.zeros((ho,), jnp.float32)
+    enc_names = ["ppr_encoder_cn"]
+    if cfg.mask_mode != "cn":
+        enc_names.append("ppr_encoder_onehop")
+    if cfg.mask_mode == "all":
+        enc_names.append("ppr_encoder_non1hop")
+    w1, b1, g_ln, b_ln, w2f, cbias = [], [], [], [], [], []
+    for name in enc_names:
+        mp = params[name]
+        l1, l2 = mp["layers"]
+        w1.append(l1["w"].astype(jnp.float32))
+        b1.append(l1["b"].astype(jnp.float32))
+        g_ln.append(mp["norm"]["g"].astype(jnp.float32))
+        b_ln.append(mp["norm"]["b"].astype(jnp.float32))
+        w2f.append(l2["w"].astype(jnp.float32) @ W_fold)
+        cbias.append(2.0 * (l2["b"].astype(jnp.float32) @ W_fold) + r_bias)
+
+    out = fused_pe_link_attention(
+        xj_node, ctx.src_ppr, ctx.tgt_ppr, ctx.valid, e1 + e2,
+        jnp.stack(w1), jnp.stack(b1), jnp.stack(g_ln), jnp.stack(b_ln),
+        jnp.stack(w2f), jnp.stack(cbias),
+        lp["att"], lp["bias"],
+        c_tile=c_tile, tile_classes=tile_classes,
         interpret=jax.default_backend() != "tpu",
     )
     out = nn.layer_norm_apply(lp["post_norm"], out)
@@ -324,30 +370,34 @@ def calc_pairwise(
         [gather_rows(X_node, src), gather_rows(X_node, tgt)], axis=-1
     )
 
-    use_pallas = (
-        cfg.use_pallas_attention and cfg.num_heads == 1
-        and not return_weights
-    )
+    want_pallas = cfg.use_pallas_attention
+    if want_pallas is None:  # auto: the kernel wins on TPU (STATUS r2)
+        want_pallas = jax.default_backend() == "tpu"
+    c_tile, tile_classes = (0, ())
+    if want_pallas and cfg.num_heads == 1 and not return_weights:
+        c_tile, tile_classes = _pe_tiles(cfg)
+    use_pallas = c_tile > 0
 
     def attend(params, X_node, pairwise_feats, ctx, rng):
-        if use_pallas:
-            # the fused kernel streams the explicit [x_v ‖ pe_v] table
-            X_ext = jnp.concatenate(
-                [X_node, jnp.zeros((1, X_node.shape[-1]), X_node.dtype)],
-                axis=0,
-            )
-            node_keys = gather_rows(X_ext, ctx.ids)            # [B, C, dim]
-            pes = _pos_encodings(params, cfg, ctx)             # [B, C, dim]
-            keys_in = jnp.concatenate([node_keys, pes], axis=-1)
-
         att_weights = None
         for i, lp in enumerate(params["att_layers"]):
             r = None if rng is None else jax.random.fold_in(rng, 10 + i)
             feats_in = pairwise_feats if i == 0 else pairwise_feats_
             if use_pallas:
+                # node half pre-projected in [N] space (N << B*C), PE half
+                # computed inside the kernel from the [B, C] ppr tables
+                d = X_node.shape[-1]
+                W = lp["lin_r"]["w"]
+                X_proj = nn.matmul(X_node, W[:d], cfg.mm_dtype)
+                kd = cfg.mm_dtype or X_proj.dtype
+                X_proj = jnp.concatenate(
+                    [X_proj.astype(kd), jnp.zeros((1, W.shape[1]), kd)],
+                    axis=0,
+                )
+                xj_node = gather_rows(X_proj, ctx.ids)         # [B, C, H*O]
                 pairwise_feats_, att_weights = _att_layer_apply_pallas(
-                    lp, cfg, feats_in, keys_in, ctx.valid, rng=r,
-                    train=train,
+                    lp, params, cfg, feats_in, xj_node, ctx,
+                    c_tile, tile_classes, rng=r, train=train,
                 )
             else:
                 xj = _project_keys(lp, params, cfg, X_node, ctx)
@@ -360,10 +410,9 @@ def calc_pairwise(
     remat = cfg.remat_pairwise
     if remat is None:
         # auto: the largest pairwise-space activation held for backward
-        # ([B, C, 2*dim] keys_in on the pallas path, [B, C, dim] xj on
-        # the split-projection path)
+        # ([B, C, dim] xj_node / xj on either path)
         bsz, ctot = ctx.ids.shape
-        remat = bsz * ctot * (2 if use_pallas else 1) * cfg.dim * 4 > 3e9
+        remat = bsz * ctot * cfg.dim * 4 > 3e9
     if remat and not return_weights:
         attend = jax.checkpoint(attend)
     pairwise_feats, att_weights = attend(
