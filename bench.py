@@ -53,9 +53,10 @@ PRESETS = {
     "collab-like": dict(nodes=50_000, edges=400_000, feat=128, dim=128,
                         batch=4096, budgets=(64, 128, 128), gnn_layers=3),
     # citation2-scale: 1M nodes / 5M sym edges, big batch, small dim
-    # (reference config: dim 64, bs 32768, replicate_existing.sh:19)
+    # (reference config: dim 64, bs 32768, replicate_existing.sh:19);
+    # budgets tile-aligned to 32 for the fused PE+attention kernel
     "citation2-like": dict(nodes=1_000_000, edges=5_000_000, feat=96,
-                           dim=64, batch=32_768, budgets=(24, 64, 64),
+                           dim=64, batch=32_768, budgets=(32, 64, 64),
                            gnn_layers=3),
     # ddi-like: small dense graph, big contexts, dim 256 (the >32GB-GPU
     # shape in the reference, README.md:42). Grad accumulation keeps the
@@ -449,6 +450,67 @@ def _bench_kernels(cfg, ds, args, jax, jnp):
         est = attention_roofline(b, c_total, dim, 1, dt)
         est.flops *= 3  # fwd + dkeys + dW passes
         results[name + "_fwd_bwd"] = (dt, est)
+
+    # ---- fused PE+attention kernel (the production pairwise block) ----
+    from lpformer_tpu.models.link_transformer import _pe_tiles
+    from lpformer_tpu.ops.pallas import fused_pe_link_attention
+
+    c_tile, tile_classes = _pe_tiles(cfg)
+    if c_tile > 0:
+        ncls = 3 if cfg.mask_mode == "all" else (
+            2 if cfg.mask_mode == "1-hop" else 1)
+        rr = np.random.default_rng(1)
+        f32 = lambda *s: jnp.asarray(  # noqa: E731
+            rr.standard_normal(s).astype(np.float32))
+        kd = cfg.mm_dtype or jnp.float32
+        pe_ops = (
+            f32(b, c_total, dim).astype(kd),
+            jnp.abs(f32(b, c_total)) * 0.05, jnp.abs(f32(b, c_total)) * 0.05,
+            valid, f32(b, dim),
+            f32(ncls, 2, dim), f32(ncls, dim) / 10, 1.0 + f32(ncls, dim) / 10,
+            f32(ncls, dim) / 10,
+            (f32(ncls, dim, dim) / 4).astype(kd), f32(ncls, dim) / 10,
+            f32(1, dim) / 4, f32(dim) / 10,
+        )
+
+        def pe_call(xj_node, ps, pt, v, q, w1, b1, g_, b_, w2f, cb, at, bi):
+            return fused_pe_link_attention(
+                xj_node, ps, pt, v, q, w1, b1, g_, b_, w2f, cb, at, bi,
+                c_tile=c_tile, tile_classes=tile_classes,
+                interpret=jax.default_backend() != "tpu",
+            )
+
+        def pe_fwd(c, ops):
+            o = list(ops)
+            o[0] = o[0] + jnp.tanh(c).astype(o[0].dtype)
+            return jnp.tanh(jnp.sum(pe_call(*o)) * 1e-9)
+
+        def pe_fb(c, ops):
+            o = list(ops)
+
+            def f(xj, w2f):
+                oo = list(o)
+                oo[0], oo[9] = xj, w2f
+                return jnp.sum(pe_call(*oo) ** 2)
+            l, gk = jax.value_and_grad(f, argnums=(0, 1))(
+                o[0] + jnp.tanh(c).astype(o[0].dtype), o[9])
+            return jnp.tanh((l + jnp.sum(gk[0][0, 0].astype(jnp.float32)))
+                            * 1e-9)
+
+        # roofline: PE MLPs (2 dirs x 2 layers) + attention per entry
+        def pe_roofline(dt):
+            est = attention_roofline(b, c_total, dim, 1, dt)
+            est.flops += b * c_total * 2 * 2.0 * (2 * dim + dim * dim)
+            est.bytes = b * c_total * (dim * (2 if kd != jnp.float32 else 4)
+                                       + 3 * 4)
+            return est
+
+        dt = _time_chained(jax, jnp, pe_fwd, pe_ops)
+        results["att_pe_pallas_fwd"] = (dt, pe_roofline(dt))
+        dt = _time_chained(jax, jnp, pe_fb, pe_ops, n_iter=6)
+        est = pe_roofline(dt)
+        est.flops *= 3
+        results["att_pe_pallas_fwd_bwd"] = (dt, est)
 
     for name, (dt, est) in results.items():
         print("[kernels] " + roofline_report(est, name), file=sys.stderr)

@@ -273,7 +273,9 @@ def _att_layer_apply(
 
 def _pe_tiles(cfg: LPFormerConfig) -> Tuple[int, tuple]:
     """(c_tile, per-tile class indices) for the fused PE+attention kernel;
-    (0, ()) when the class budgets don't align to a single-class tiling."""
+    (0, ()) when the class budgets don't align to a single-class tiling.
+    Auto mode (use_pallas_attention=None) requires tiles >= 32 rows;
+    forcing the flag True accepts any tile >= 8 (small test shapes)."""
     from lpformer_tpu.ops.pallas.pe_attention import pe_attention_tile
 
     c = cfg.context
@@ -282,7 +284,9 @@ def _pe_tiles(cfg: LPFormerConfig) -> Tuple[int, tuple]:
         budgets.append(c.budget_onehop)
     if cfg.mask_mode == "all":
         budgets.append(c.budget_non1hop)
-    ct = pe_attention_tile(budgets)
+    ct = pe_attention_tile(
+        budgets, min_tile=8 if cfg.use_pallas_attention else 32
+    )
     if ct == 0:
         return 0, ()
     tiles = []

@@ -448,10 +448,12 @@ _fused.defvjp(_fused_fwd, _fused_bwd)
 # public entry
 # --------------------------------------------------------------------------
 
-def pe_attention_tile(budgets) -> int:
+def pe_attention_tile(budgets, min_tile: int = 32) -> int:
     """Largest C-tile (<= 128) that divides every class budget so each
-    tile is single-class; 0 if the budgets don't align (tiles < 8 rows
-    drown in grid overhead, so treat them as unaligned)."""
+    tile is single-class; 0 if the budgets don't align (tiles below
+    ``min_tile`` rows drown in grid-step overhead, so they're treated as
+    unaligned and the caller falls back to the XLA path). Tests pass
+    ``min_tile=8`` to exercise small shapes in interpret mode."""
     import math
 
     t = 0
@@ -459,7 +461,7 @@ def pe_attention_tile(budgets) -> int:
         if bgt:
             t = math.gcd(t, bgt)
     t = math.gcd(t, 128)
-    return t if t >= 8 else 0
+    return t if t >= min_tile else 0
 
 
 @functools.partial(

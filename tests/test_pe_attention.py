@@ -47,7 +47,7 @@ def _dense_reference(xj_node, ps, pt, valid, q, w1, b1, g, b, w2f, cbias,
 
 def _rand_case(seed, bsz=16, budgets=(16, 32, 32), ho=16, empty_row=None):
     rng = np.random.default_rng(seed)
-    ct = pe_attention_tile(budgets)
+    ct = pe_attention_tile(budgets, min_tile=8)
     tiles = []
     for k, bgt in enumerate(budgets):
         tiles.extend([k] * (bgt // ct))
@@ -215,6 +215,9 @@ def test_misaligned_budgets_fall_back_to_xla():
 
 @pytest.mark.parametrize("budgets", [(16, 32, 32), (64, 128, 128)])
 def test_tile_map(budgets):
-    ct = pe_attention_tile(budgets)
+    ct = pe_attention_tile(budgets, min_tile=8)
     assert ct > 0
     assert all(bgt % ct == 0 for bgt in budgets)
+    # auto mode is conservative: sub-32 tiles fall back to XLA
+    assert pe_attention_tile((16, 32, 32)) == 0
+    assert pe_attention_tile((64, 128, 128)) == 64
