@@ -93,13 +93,16 @@ def _fwd_kernel(keys_ref, ps_ref, pt_ref, valid_ref, q_ref,
         l_ref[:] = jnp.zeros((bb, 128), jnp.float32)
         acc_ref[:] = jnp.zeros((bb, ho), jnp.float32)
 
-    w1 = w1_ref[:].reshape(2, ho)
-    w1a = w1[0:1].reshape(1, 1, ho)
-    w1b = w1[1:2].reshape(1, 1, ho)
-    b1 = b1_ref[:].reshape(ho)
-    g = g_ref[:].reshape(ho)
-    b = b_ref[:].reshape(ho)
-    w2 = w2_ref[:].reshape(ho, ho)
+    # PE hidden dim dh (= model dim) is distinct from the output dim ho
+    # (= heads*out; 2*dim for layer 0 of a 2-layer stack)
+    dh = w1_ref.shape[-1]
+    w1 = w1_ref[:].reshape(2, dh)
+    w1a = w1[0:1].reshape(1, 1, dh)
+    w1b = w1[1:2].reshape(1, 1, dh)
+    b1 = b1_ref[:].reshape(dh)
+    g = g_ref[:].reshape(dh)
+    b = b_ref[:].reshape(dh)
+    w2 = w2_ref[:].reshape(dh, ho)
     kdt = w2.dtype
     # scalar tables ride tile-major as [n_ct, B, ct] so the block's last
     # dim equals the array's (Mosaic lane-divisibility constraint)
@@ -144,6 +147,7 @@ def _fwd_kernel(keys_ref, ps_ref, pt_ref, valid_ref, q_ref,
 def _fwd_call(keys, ps, pt, valid_f, q, w1, b1, g, b, w2, cbias, att, bias,
               block_b, c_tile, interpret):
     bsz, c, ho = keys.shape
+    dh = w1.shape[-1]
     grid = (bsz // block_b, c // c_tile)
 
     def tilemap(i, j):
@@ -171,11 +175,11 @@ def _fwd_call(keys, ps, pt, valid_f, q, w1, b1, g, b, w2, cbias, att, bias,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, ho), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, ho), tilemap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ho), tilemap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ho), tilemap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ho), tilemap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ho, ho), tilemap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, dh), tilemap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, dh), tilemap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, dh), tilemap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, dh), tilemap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dh, ho), tilemap, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, ho), tilemap, memory_space=pltpu.VMEM),
             pl.BlockSpec((att.shape[0], att.shape[1]), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -228,25 +232,28 @@ def _dir_bwd(pf3, pg3, xhat, r, h2, ymask, w2, g, dxj2, dxj2c, kdt):
 def _bwd_kernel(keys_ref, ps_ref, pt_ref, valid_ref, q_ref, g_out_ref,
                 m_ref, l_ref, delta_ref,
                 w1_ref, b1_ref, g_ref, b_ref, w2_ref, cbias_ref, att_ref,
-                dkeys_ref, dqp_ref, dvec_ref, dw2_ref,
+                dkeys_ref, dqp_ref, dpe_ref, dout_ref, dw2_ref,
                 db1_s, dg_s, db_s, dcb_s, datt_s, dw1f_s, dw1g_s, dw2_s):
     bb, ct, ho = keys_ref.shape
+    dh = w1_ref.shape[-1]
     i = pl.program_id(1)                 # B-block (inner)
     nb = pl.num_programs(1)
 
     @pl.when(i == 0)
     def _():
-        for s in (db1_s, dg_s, db_s, dcb_s, datt_s, dw1f_s, dw1g_s):
+        for s in (db1_s, dg_s, db_s, dw1f_s, dw1g_s):
+            s[:] = jnp.zeros((bb, dh), jnp.float32)
+        for s in (dcb_s, datt_s):
             s[:] = jnp.zeros((bb, ho), jnp.float32)
-        dw2_s[:] = jnp.zeros((ho, ho), jnp.float32)
+        dw2_s[:] = jnp.zeros((dh, ho), jnp.float32)
 
-    w1 = w1_ref[:].reshape(2, ho)
-    w1a = w1[0:1].reshape(1, 1, ho)
-    w1b = w1[1:2].reshape(1, 1, ho)
-    b1 = b1_ref[:].reshape(ho)
-    g = g_ref[:].reshape(ho)
-    b = b_ref[:].reshape(ho)
-    w2 = w2_ref[:].reshape(ho, ho)
+    w1 = w1_ref[:].reshape(2, dh)
+    w1a = w1[0:1].reshape(1, 1, dh)
+    w1b = w1[1:2].reshape(1, 1, dh)
+    b1 = b1_ref[:].reshape(dh)
+    g = g_ref[:].reshape(dh)
+    b = b_ref[:].reshape(dh)
+    w2 = w2_ref[:].reshape(dh, ho)
     kdt = w2.dtype
     ps3 = ps_ref[:].reshape(bb, ct)[:, :, None]
     pt3 = pt_ref[:].reshape(bb, ct)[:, :, None]
@@ -310,18 +317,24 @@ def _bwd_kernel(keys_ref, ps_ref, pt_ref, valid_ref, q_ref, g_out_ref,
 
     @pl.when(i == nb - 1)
     def _():
-        # dvec rows: 0 db1, 1 dg, 2 db, 3 dcbias, 4 datt, 5 dw1[0],
-        # 6 dw1[1], 7 spare
-        dvec_ref[:] = jnp.concatenate(
+        # dpe rows (width dh): 0 db1, 1 dg, 2 db, 3 dw1[0], 4 dw1[1]
+        dpe_ref[:] = jnp.concatenate(
             [
                 jnp.sum(db1_s[:], axis=0, keepdims=True),
                 jnp.sum(dg_s[:], axis=0, keepdims=True),
                 jnp.sum(db_s[:], axis=0, keepdims=True),
-                jnp.sum(dcb_s[:], axis=0, keepdims=True),
-                jnp.sum(datt_s[:], axis=0, keepdims=True),
                 jnp.sum(dw1f_s[:], axis=0, keepdims=True),
                 jnp.sum(dw1g_s[:], axis=0, keepdims=True),
-                jnp.zeros((1, ho), jnp.float32),
+                jnp.zeros((3, dh), jnp.float32),
+            ],
+            axis=0,
+        )                                                      # [8, dh]
+        # dout rows (width ho): 0 dcbias, 1 datt
+        dout_ref[:] = jnp.concatenate(
+            [
+                jnp.sum(dcb_s[:], axis=0, keepdims=True),
+                jnp.sum(datt_s[:], axis=0, keepdims=True),
+                jnp.zeros((6, ho), jnp.float32),
             ],
             axis=0,
         )                                                      # [8, O]
@@ -332,6 +345,7 @@ def _bwd_call(keys, ps, pt, valid_f, q, g_out, m, l, delta,
               w1, b1, g, b, w2, cbias, att,
               block_b, c_tile, interpret):
     bsz, c, ho = keys.shape
+    dh = w1.shape[-1]
     n_ct = c // c_tile
     grid = (n_ct, bsz // block_b)   # B inner: weight grads sweep scratch
 
@@ -349,8 +363,9 @@ def _bwd_call(keys, ps, pt, valid_f, q, g_out, m, l, delta,
         out_shape=(
             jax.ShapeDtypeStruct((bsz, c, ho), keys.dtype),
             jax.ShapeDtypeStruct((n_ct * bsz, ho), jnp.float32),
+            jax.ShapeDtypeStruct((n_ct * 8, dh), jnp.float32),
             jax.ShapeDtypeStruct((n_ct * 8, ho), jnp.float32),
-            jax.ShapeDtypeStruct((n_ct * ho, ho), jnp.float32),
+            jax.ShapeDtypeStruct((n_ct * dh, ho), jnp.float32),
         ),
         grid=grid,
         in_specs=[
@@ -367,11 +382,11 @@ def _bwd_call(keys, ps, pt, valid_f, q, g_out, m, l, delta,
             pl.BlockSpec((block_b, 128), bmap2, memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, 128), bmap2, memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, 128), bmap2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, ho), tilemap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ho), tilemap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ho), tilemap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ho), tilemap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ho, ho), tilemap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, dh), tilemap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, dh), tilemap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, dh), tilemap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, dh), tilemap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dh, ho), tilemap, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, ho), tilemap, memory_space=pltpu.VMEM),
             pl.BlockSpec((att.shape[0], att.shape[1]), lambda j, i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -383,13 +398,17 @@ def _bwd_call(keys, ps, pt, valid_f, q, g_out, m, l, delta,
             pl.BlockSpec((block_b, ho),
                          lambda j, i: (j * (bsz // block_b) + i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, dh), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((8, ho), lambda j, i: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ho, ho), lambda j, i: (j, 0),
+            pl.BlockSpec((dh, ho), lambda j, i: (j, 0),
                          memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[pltpu.VMEM((block_b, ho), jnp.float32)] * 7
-        + [pltpu.VMEM((ho, ho), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((block_b, dh), jnp.float32)] * 3
+        + [pltpu.VMEM((block_b, ho), jnp.float32)] * 2
+        + [pltpu.VMEM((block_b, dh), jnp.float32)] * 2
+        + [pltpu.VMEM((dh, ho), jnp.float32)],
         interpret=interpret,
     )(keys, ps, pt, valid_f, q, g_out, m, l, delta,
       w1, b1, g, b, w2, cbias, att)
@@ -421,20 +440,22 @@ def _fused_bwd(block_b, c_tile, interpret, res, g_out):
     g_out = g_out.astype(jnp.float32)
     delta = jnp.sum(g_out * (out - bias[None]), axis=-1, keepdims=True)
     delta = jnp.broadcast_to(delta, (delta.shape[0], 128))
-    dkeys, dqp, dvec, dw2 = _bwd_call(
+    dkeys, dqp, dpe, dout, dw2 = _bwd_call(
         keys, ps, pt, valid_f, q, g_out, m, l, delta,
         w1, b1, g, b, w2, cbias, att, block_b[1], c_tile, interpret,
     )
     n_ct, bsz, ho = ps.shape[0], q.shape[0], q.shape[1]
+    dh = w1.shape[-1]
     dq = jnp.sum(dqp.reshape(n_ct, bsz, ho), axis=0)
-    dvec = dvec.reshape(n_ct, 8, ho)
-    dw2 = dw2.reshape(n_ct, ho, ho)
-    db1 = dvec[:, 0].reshape(b1.shape)
-    dg = dvec[:, 1].reshape(g.shape)
-    db = dvec[:, 2].reshape(b.shape)
-    dcbias = dvec[:, 3].reshape(cbias.shape)
-    datt = jnp.sum(dvec[:, 4], axis=0).reshape(att.shape)
-    dw1 = jnp.stack([dvec[:, 5], dvec[:, 6]], axis=1).reshape(w1.shape)
+    dpe = dpe.reshape(n_ct, 8, dh)
+    dout = dout.reshape(n_ct, 8, ho)
+    dw2 = dw2.reshape(n_ct, dh, ho)
+    db1 = dpe[:, 0].reshape(b1.shape)
+    dg = dpe[:, 1].reshape(g.shape)
+    db = dpe[:, 2].reshape(b.shape)
+    dw1 = jnp.stack([dpe[:, 3], dpe[:, 4]], axis=1).reshape(w1.shape)
+    dcbias = dout[:, 0].reshape(cbias.shape)
+    datt = jnp.sum(dout[:, 1], axis=0).reshape(att.shape)
     dbias = jnp.sum(g_out, axis=0)
     return (dkeys, jnp.zeros_like(ps), jnp.zeros_like(pt),
             jnp.zeros_like(valid_f), dq, dw1, db1, dg, db,
@@ -474,11 +495,11 @@ def fused_pe_link_attention(
     pt: jnp.ndarray,        # [B, C] f32 ppr(tgt, v)
     valid: jnp.ndarray,     # [B, C] bool
     q: jnp.ndarray,         # [B, O] lin_l(x_a) + lin_l(x_b)
-    w1_cls: jnp.ndarray,    # [K, 2, O] per-CLASS PPR-encoder layer-1 weights
-    b1_cls: jnp.ndarray,    # [K, O]
-    g_cls: jnp.ndarray,     # [K, O]   LayerNorm gain
-    b_cls: jnp.ndarray,     # [K, O]   LayerNorm bias
-    w2f_cls: jnp.ndarray,   # [K, O, O] folded W2_c @ W_r[d:]
+    w1_cls: jnp.ndarray,    # [K, 2, dh] per-CLASS PPR-encoder layer-1 weights
+    b1_cls: jnp.ndarray,    # [K, dh]   (dh = PE hidden dim = model dim;
+    g_cls: jnp.ndarray,     # [K, dh]    LayerNorm gain — distinct from the
+    b_cls: jnp.ndarray,     # [K, dh]    output dim O = heads*out)
+    w2f_cls: jnp.ndarray,   # [K, dh, O] folded W2_c @ W_r[d:]
     cbias_cls: jnp.ndarray,  # [K, O]  folded 2*b2_c @ W_r[d:] + lin_r bias
     att: jnp.ndarray,       # [H=1, O]
     bias: jnp.ndarray,      # [O] output bias

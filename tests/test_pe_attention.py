@@ -202,6 +202,41 @@ def test_model_pallas_now_uses_fused_pe_kernel():
         )
 
 
+def test_model_two_trans_layers_pallas_matches_xla():
+    """trans_layers=2: layer 0 emits 2*dim (ho=2d), layer 1 re-projects —
+    both route through the fused kernel and match the XLA path."""
+    from lpformer_tpu.data.synthetic import synthetic_dataset
+    from lpformer_tpu.models import LPFormerConfig, forward, init_lpformer
+
+    ds = synthetic_dataset(
+        seed=8, num_nodes=80, num_train=250, num_eval=20, feat_dim=8
+    )
+    cfg = LPFormerConfig(
+        dim=16, gnn_layers=1, trans_layers=2, budget_cn=16,
+        budget_onehop=32, budget_non1hop=32, remat_pairwise=False,
+    )
+    cfg_p = dataclasses.replace(cfg, use_pallas_attention=True)
+    params = init_lpformer(jax.random.PRNGKey(1), cfg, in_dim=8)
+    src = jnp.asarray(ds.valid_pos[:8, 0])
+    tgt = jnp.asarray(ds.valid_pos[:8, 1])
+    h_ref = forward(params, cfg, ds.graph, src, tgt, train=False)
+    h_pal = forward(params, cfg_p, ds.graph, src, tgt, train=False)
+    np.testing.assert_allclose(
+        np.asarray(h_ref), np.asarray(h_pal), rtol=1e-4, atol=1e-5
+    )
+
+    def loss(params, cfg):
+        return jnp.sum(
+            forward(params, cfg, ds.graph, src, tgt, train=False) ** 2)
+
+    g_ref = jax.tree_util.tree_leaves(jax.grad(loss)(params, cfg))
+    g_pal = jax.tree_util.tree_leaves(jax.grad(loss)(params, cfg_p))
+    for a, b in zip(g_ref, g_pal):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4
+        )
+
+
 def test_misaligned_budgets_fall_back_to_xla():
     from lpformer_tpu.models.link_transformer import _pe_tiles
     from lpformer_tpu.models import LPFormerConfig
