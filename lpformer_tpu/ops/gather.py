@@ -30,10 +30,12 @@ _PALLAS_MIN_ROWS = 65536
 def _use_pallas_scatter(m: int, d: int) -> bool:
     if os.environ.get("LPFORMER_TPU_NO_PALLAS_SCATTER"):
         return False
+    # d == 64 rides the kernel lane-padded to 128 (measured 93 -> 67 ms
+    # for 5.24M rows into [1M, 64] on v5e vs unsorted segment_sum)
     return (
         jax.default_backend() == "tpu"
         and m >= _PALLAS_MIN_ROWS
-        and d % 128 == 0
+        and (d % 128 == 0 or d == 64)
     )
 
 
@@ -57,7 +59,9 @@ def _gather_bwd(res, ct):
     if _use_pallas_scatter(ct2.shape[0], d):
         from lpformer_tpu.ops.pallas.scatter import scatter_rows_add
 
-        dtable = scatter_rows_add(ids.reshape(-1), ct2, n)
+        if d % 128 != 0:  # lane-pad to the (8, 128) fast path
+            ct2 = jnp.pad(ct2, ((0, 0), (0, 128 - d)))
+        dtable = scatter_rows_add(ids.reshape(-1), ct2, n)[:, :d]
     else:
         # measured on v5e at [4096, 320] ids into [50001, 128]: plain
         # unsorted segment_sum (22 ms) beats XLA sort + sorted

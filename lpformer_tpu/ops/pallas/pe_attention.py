@@ -530,19 +530,24 @@ def fused_pe_link_attention(
 
     kdt = jnp.bfloat16 if xj_node.dtype == jnp.bfloat16 else jnp.float32
 
-    def fit(bb, budget_mb):
-        while bb > 1 and bb * c_tile * ho * 4 * 12 > budget_mb << 20:
+    # VMEM stack model: live [bb*ct, O] f32 temps, with the lane dim
+    # PADDED to 128 in VMEM (a [*, 64] f32 slot costs as much as
+    # [*, 128] — measured via a 17.0M scoped-vmem OOM at dim 64).
+    # Calibrated slot counts: ~12 live in the forward, ~17 in the
+    # backward (collab bb_bwd=32 OOMs at 16.3M, 16 fits; citation2-like
+    # bb_bwd=64 OOMs at 17.0M, 32 fits; ddi bb_bwd=8 fits).
+    lane = -(-ho // 128) * 128
+
+    def fit(bb, n_slots, budget_mb):
+        while bb > 1 and bb * c_tile * lane * 4 * n_slots > budget_mb << 20:
             bb //= 2
         while bsz % bb != 0 and bb > 1:
             bb //= 2
         return max(bb, 1)
 
     if block_b <= 0:
-        # ~12 live [bb*ct, O] f32 temps in the forward, ~14 + the dkeys
-        # out block in the backward (measured envelope; Mosaic scoped
-        # VMEM caps at 16 MB)
-        bb_fwd = fit(32, 13)
-        bb_bwd = fit(32, 7)
+        bb_fwd = fit(64, 12, 13)
+        bb_bwd = fit(64, 17, 15)
     else:
         bb_fwd = bb_bwd = block_b
 

@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--out", type=str, default="/tmp/step_trace")
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--preset", choices=("collab-like", "citation2-like",
+                                         "ddi-like"), default="collab-like")
     args = ap.parse_args()
 
     import jax
@@ -38,25 +40,31 @@ def main():
     from lpformer_tpu.train import make_optimizer, make_train_step
     from lpformer_tpu.train.step import TrainState
 
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from bench import PRESETS
+
+    p = PRESETS[args.preset]
     ds = synthetic_dataset(
-        seed=0, num_nodes=50_000, num_train=400_000, num_eval=1000,
-        feat_dim=128, eps=5e-4, adj_cap=96, ppr_cap=256,
+        seed=0, num_nodes=p["nodes"], num_train=p["edges"], num_eval=1000,
+        feat_dim=p["feat"], eps=5e-4, adj_cap=96, ppr_cap=256,
     )
     if args.no_ell and ds.graph.ell is not None:
         import dataclasses
 
         ds.graph = dataclasses.replace(ds.graph, ell=None)
     cfg = LPFormerConfig(
-        dim=128, gnn_layers=3, budget_cn=64, budget_onehop=128,
-        budget_non1hop=128,
+        dim=p["dim"], gnn_layers=p["gnn_layers"],
+        budget_cn=p["budgets"][0], budget_onehop=p["budgets"][1],
+        budget_non1hop=p["budgets"][2],
         matmul_dtype="float32" if args.f32 else "bfloat16",
     )
-    params = init_lpformer(jax.random.PRNGKey(0), cfg, in_dim=128)
+    params = init_lpformer(jax.random.PRNGKey(0), cfg, in_dim=p["feat"])
     opt = make_optimizer(1e-3, steps_per_epoch=100)
     state = TrainState(params, opt.init(params), jnp.asarray(0, jnp.int32))
-    step = make_train_step(cfg, opt)
+    step = make_train_step(cfg, opt, grad_accum=p.get("accum", 1))
 
-    batch = 4096
+    batch = p["batch"]
     tp = np.asarray(ds.train_pos)
     reps = -(-batch // len(tp))
     tp2 = np.tile(tp, (reps, 1))[:batch]
