@@ -59,11 +59,13 @@ PRESETS = {
                            dim=64, batch=32_768, budgets=(32, 64, 64),
                            gnn_layers=3),
     # ddi-like: small dense graph, big contexts, dim 256 (the >32GB-GPU
-    # shape in the reference, README.md:42). Grad accumulation keeps the
-    # [B/accum, C, dim] pairwise transients inside 16GB HBM.
+    # shape in the reference, README.md:42). With the fused PE+attention
+    # kernel the [B, C, dim] pairwise transients never hit HBM, so the
+    # monolithic step fits 16GB — no grad accumulation needed (accum=4
+    # benched 320.7 ms vs 269.6 monolithic; --grad-accum 4 is the
+    # XLA-attention-era fallback).
     "ddi-like": dict(nodes=4_096, edges=500_000, feat=256, dim=256,
-                     batch=4096, budgets=(128, 320, 320), gnn_layers=3,
-                     accum=4),
+                     batch=4096, budgets=(128, 320, 320), gnn_layers=3),
 }
 
 
@@ -85,7 +87,7 @@ def main():
                          "measured 132.6 -> 91.8 ms/step on v5e)")
     ap.add_argument("--no-pallas", dest="pallas", action="store_false",
                     help="force the XLA dense-masked attention path")
-    ap.add_argument("--grad-accum", type=int, default=1,
+    ap.add_argument("--grad-accum", type=int, default=None,
                     help="micro-batches per optimizer step (presets may "
                          "set a default; 1 = monolithic step)")
     ap.add_argument("--steps-per-call", type=int, default=8,
@@ -110,12 +112,14 @@ def main():
 
     budgets = (64, 128, 128)
     gnn_layers = 3
+    if args.grad_accum is None and not args.preset:
+        args.grad_accum = 1
     if args.preset:
         p = PRESETS[args.preset]
         args.nodes, args.edges = p["nodes"], p["edges"]
         args.feat, args.dim, args.batch = p["feat"], p["dim"], p["batch"]
         budgets, gnn_layers = p["budgets"], p["gnn_layers"]
-        if args.grad_accum == 1:
+        if args.grad_accum is None:
             args.grad_accum = p.get("accum", 1)
 
     if args.smoke:

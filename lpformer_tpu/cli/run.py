@@ -110,6 +110,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--syn-nodes", type=int, default=2000)
     p.add_argument("--syn-edges", type=int, default=10000)
     p.add_argument("--syn-feat", type=int, default=64)
+    # accepted for drop-in compatibility with the reference CLI; these
+    # are parsed but never read in the reference either
+    # (reference: src/run.py:181-196 — no other occurrence), and
+    # --device selects a CUDA index (N/A here; use --platform/--mesh)
+    for flag in ("--output_dir", "--bymetric"):
+        p.add_argument(flag, type=str, default=None, help=argparse.SUPPRESS)
+    p.add_argument("--percentile", type=float, default=75,
+                   help=argparse.SUPPRESS)
+    p.add_argument("--log_steps", type=int, default=1,
+                   help=argparse.SUPPRESS)
+    p.add_argument("--device", type=int, default=0, help=argparse.SUPPRESS)
+    p.add_argument("--remove-pos-edges", action="store_true",
+                   default=False, help=argparse.SUPPRESS)
     return p
 
 
