@@ -207,15 +207,18 @@ def _fwd_call(keys, ps, pt, valid_f, q, w1, b1, g, b, w2, cbias, att, bias,
 # per-tile weight grads accumulate in scratch over one contiguous sweep
 # --------------------------------------------------------------------------
 
-def _dir_bwd(pf3, pg3, xhat, r, h2, ymask, w2, g, dxj2, dxj2c, kdt):
+def _dir_bwd(pf3, pg3, xhat, r, h2, b, w2, g, dxj2, dxj2c, kdt):
     """Backward of one symmetric PE direction. All reductions stop at
     [bb, O] (single axis=1 sums — Mosaic rejects chained cross-axis
     reduces); the caller accumulates them in scratch and collapses to
-    [1, O] only at the final-write step."""
+    [1, O] only at the final-write step. The relu mask is recomputed
+    from xhat here instead of stored (one less persistent VMEM slot)."""
     bb, ct, _ = pf3.shape
     ho = h2.shape[-1]
     dw2 = jnp.dot(h2.T, dxj2c, preferred_element_type=jnp.float32)
     dh2 = jnp.dot(dxj2c, w2.T, preferred_element_type=jnp.float32)
+    ymask = (xhat * g[None, None, :] + b[None, None, :] > 0).astype(
+        jnp.float32)
     dy = dh2.reshape(bb, ct, ho) * ymask                       # [bb, ct, O]
     dg = jnp.sum(dy * xhat, axis=1)                            # [bb, O]
     db = jnp.sum(dy, axis=1)
@@ -260,10 +263,6 @@ def _bwd_kernel(keys_ref, ps_ref, pt_ref, valid_ref, q_ref, g_out_ref,
 
     pe_a, xhat_a, r_a, h2_a = _pe_dir(ps3, pt3, w1a, w1b, b1, g, b, w2, kdt)
     pe_b, xhat_b, r_b, h2_b = _pe_dir(pt3, ps3, w1a, w1b, b1, g, b, w2, kdt)
-    ymask_a = (xhat_a * g[None, None, :] + b[None, None, :] > 0).astype(
-        jnp.float32)
-    ymask_b = (xhat_b * g[None, None, :] + b[None, None, :] > 0).astype(
-        jnp.float32)
 
     keys2 = keys_ref[:].reshape(bb * ct, ho).astype(jnp.float32)
     xj2 = keys2 + pe_a + pe_b + cbias_ref[:].reshape(1, ho)
@@ -304,9 +303,9 @@ def _bwd_kernel(keys_ref, ps_ref, pt_ref, valid_ref, q_ref, g_out_ref,
     dcb_s[:] = dcb_s[:] + jnp.sum(dxj3, axis=1)
 
     dw2a, db1a, dga, dba, dw1fa, dw1ga = _dir_bwd(
-        ps3, pt3, xhat_a, r_a, h2_a, ymask_a, w2, g, dxj2, dxj2c, kdt)
+        ps3, pt3, xhat_a, r_a, h2_a, b, w2, g, dxj2, dxj2c, kdt)
     dw2b, db1b, dgb_, dbb, dw1fb, dw1gb = _dir_bwd(
-        pt3, ps3, xhat_b, r_b, h2_b, ymask_b, w2, g, dxj2, dxj2c, kdt)
+        pt3, ps3, xhat_b, r_b, h2_b, b, w2, g, dxj2, dxj2c, kdt)
 
     db1_s[:] = db1_s[:] + db1a + db1b
     dg_s[:] = dg_s[:] + dga + dgb_
