@@ -56,6 +56,31 @@ def _propagate_fn(cfg):
     return fn
 
 
+@functools.lru_cache(maxsize=16)
+def _score_group_fn(cfg):
+    """K stacked eval batches per executable launch (``lax.scan`` device
+    loop) — the eval analog of the trainer's ``steps_per_call``: a
+    citation2-scale sweep is thousands of batches, and per-launch
+    dispatch overhead (5-38 ms on remote transports) would dominate."""
+
+    @jax.jit
+    def fn(params, graph, X_node, srcs, tgts):   # [K, B] each
+        def body(carry, st):
+            s, t = st
+            h = lt.forward(
+                params, cfg, graph, s, t, train=False, X_node=X_node
+            )
+            return carry, lt.score_links(params, cfg, h, train=False)
+
+        _, outs = jax.lax.scan(body, 0, (srcs, tgts))
+        return outs                              # [K, B]
+
+    return fn
+
+
+EVAL_GROUP = 8   # eval batches fused per launch
+
+
 def score_edges(
     score_fn,
     params,
@@ -63,17 +88,31 @@ def score_edges(
     X_node,
     edges: np.ndarray,
     batch_size: int,
+    group_fn=None,
 ) -> np.ndarray:
     """Score [M, 2] edges in fixed-shape batches (last batch padded).
 
     All batches are dispatched asynchronously and fetched once at the
     end — per-batch host syncs are expensive (especially through remote
-    TPU transports)."""
+    TPU transports). With ``group_fn``, EVAL_GROUP batches ride one
+    executable launch (sweeps longer than one group; the tail uses the
+    single-batch program)."""
     m = len(edges)
     if m == 0:
         return np.zeros((0,), np.float32)
     outs = []
-    for lo in range(0, m, batch_size):
+    lo = 0
+    gspan = batch_size * EVAL_GROUP
+    while group_fn is not None and m - lo >= gspan:
+        block = edges[lo:lo + gspan].reshape(EVAL_GROUP, batch_size, 2)
+        outs.append(
+            group_fn(
+                params, graph, X_node,
+                jnp.asarray(block[:, :, 0]), jnp.asarray(block[:, :, 1]),
+            ).reshape(-1)
+        )
+        lo += gspan
+    for lo in range(lo, m, batch_size):
         hi = min(lo + batch_size, m)
         chunk = edges[lo:hi]
         if hi - lo < batch_size:  # pad to the jitted shape
@@ -94,8 +133,9 @@ def _resolve_eval_fns(cfg, ds, sharded):
     callables, or the mesh-sharded ones from a ShardedEvalContext —
     signature-compatible, so the harness loops below are shared."""
     if sharded is None:
-        return _score_fn(cfg), _propagate_fn(cfg), ds.graph, ds.graph_test
-    return sharded.score, sharded.prop, sharded.sg, sharded.sg_test
+        return (_score_fn(cfg), _propagate_fn(cfg), ds.graph, ds.graph_test,
+                _score_group_fn(cfg))
+    return sharded.score, sharded.prop, sharded.sg, sharded.sg_test, None
 
 
 def test_standard(
@@ -111,14 +151,16 @@ def test_standard(
     """reference test() (testing.py:124-173). Pass a
     :class:`lpformer_tpu.parallel.eval.ShardedEvalContext` as ``sharded``
     to run the scoring over a device mesh."""
-    score_fn, prop, g_train, g_test = _resolve_eval_fns(cfg, ds, sharded)
+    score_fn, prop, g_train, g_test, group_fn = _resolve_eval_fns(
+        cfg, ds, sharded)
     X_train = prop(params, g_train)
     X_test = X_train if g_test is g_train else prop(params, g_test)
 
     def sc(edges, test_set=False):
         g = g_test if test_set else g_train
         X = X_test if test_set else X_train
-        return score_edges(score_fn, params, g, X, np.asarray(edges), batch_size)
+        return score_edges(score_fn, params, g, X, np.asarray(edges),
+                           batch_size, group_fn=group_fn)
 
     pos_train = sc(ds.train_pos_val)
     pos_valid = sc(ds.valid_pos)
@@ -159,14 +201,16 @@ def test_citation2(
 ) -> Dict[str, tuple]:
     """reference test_citation2 (testing.py:50-74): negatives are
     [P, K] target-node ids scored against the repeated source."""
-    score_fn, prop, g_train, g_test = _resolve_eval_fns(cfg, ds, sharded)
+    score_fn, prop, g_train, g_test, group_fn = _resolve_eval_fns(
+        cfg, ds, sharded)
     X = prop(params, g_train)
     X_test = X if g_test is g_train else prop(params, g_test)
 
     def sc(edges, test_set=False):
         g = g_test if test_set else g_train
         Xn = X_test if test_set else X
-        return score_edges(score_fn, params, g, Xn, np.asarray(edges), batch_size)
+        return score_edges(score_fn, params, g, Xn, np.asarray(edges),
+                           batch_size, group_fn=group_fn)
 
     def neg_scores(pos, neg_targets, test_set):
         p, k = neg_targets.shape

@@ -102,3 +102,27 @@ def test_multi_negative_training():
     )
     best, _, _ = train_data(args, cfg, ds)
     assert best > 0
+
+
+def test_grouped_eval_scoring_matches_per_batch():
+    """The EVAL_GROUP lax.scan device loop scores identically to the
+    per-batch program, across group boundaries and the padded tail."""
+    ds = synthetic_dataset(
+        seed=11, num_nodes=100, num_train=350, num_eval=30, feat_dim=8
+    )
+    cfg = LPFormerConfig(
+        dim=16, gnn_layers=1, budget_cn=16, budget_onehop=32,
+        budget_non1hop=32,
+    )
+    params = init_lpformer(jax.random.PRNGKey(2), cfg, in_dim=8)
+    rng = np.random.default_rng(3)
+    edges = np.stack([rng.integers(0, 100, 300),
+                      rng.integers(0, 100, 300)], axis=1).astype(np.int32)
+    X = harness._propagate_fn(cfg)(params, ds.graph)
+    kw = dict(batch_size=16)  # 300 edges -> 2 groups of 8 + tail
+    base = harness.score_edges(
+        harness._score_fn(cfg), params, ds.graph, X, edges, **kw)
+    grouped = harness.score_edges(
+        harness._score_fn(cfg), params, ds.graph, X, edges,
+        group_fn=harness._score_group_fn(cfg), **kw)
+    np.testing.assert_allclose(grouped, base, rtol=1e-6, atol=1e-7)
