@@ -58,6 +58,12 @@ PRESETS = {
     "citation2-like": dict(nodes=1_000_000, edges=5_000_000, feat=96,
                            dim=64, batch=32_768, budgets=(32, 64, 64),
                            gnn_layers=3),
+    # ppa-like: 576k nodes / 15M sym edges (high mean degree ~26), dim 64,
+    # big batch (reference config: dim 64, bs 32768, residual,
+    # replicate_existing.sh:16). Dataset build (PPR push) takes ~30 min.
+    "ppa-like": dict(nodes=576_000, edges=15_000_000, feat=64,
+                     dim=64, batch=32_768, budgets=(64, 128, 128),
+                     gnn_layers=3),
     # ddi-like: small dense graph, big contexts, dim 256 (the >32GB-GPU
     # shape in the reference, README.md:42). With the fused PE+attention
     # kernel the [B, C, dim] pairwise transients never hit HBM, so the
