@@ -480,7 +480,15 @@ def make_sharded_train_step(
     ctx_rows_per: int,
     num_negative: int = 1,
     context_parallel: bool = False,
+    steps_per_call: int = 1,
 ):
+    """``steps_per_call`` > 1 returns the mesh analog of the single-device
+    multi-step device loop (train/step.py): K full optimizer steps per
+    executable launch via ``lax.scan`` over stacked batches, with a
+    ``live`` mask making padded tail steps bit-exact no-ops. shard_map
+    composes under scan, so the collectives run once per scanned step
+    inside ONE program — on multi-chip hardware that also amortizes the
+    per-launch host->controller dispatch."""
     loss_fn = make_sharded_loss(
         cfg, mesh, num_nodes, rows_per, ctx_rows_per, train=True,
         context_parallel=context_parallel,
@@ -504,4 +512,19 @@ def make_sharded_train_step(
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss
 
-    return jax.jit(step, donate_argnums=(0,))
+    if steps_per_call <= 1:
+        return jax.jit(step, donate_argnums=(0,))
+
+    def multi_step(state: TrainState, sg: ShardedGraph, mult,
+                   srcs, tgts, ws, live, rng):
+        def body(st, xs):
+            s, t, w, lv = xs
+            st2, loss = step(st, sg, mult, s, t, w, rng)
+            keep = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(lv > 0, a, b), st2, st
+            )
+            return keep, jnp.where(lv > 0, loss, 0.0)
+
+        return jax.lax.scan(body, state, (srcs, tgts, ws, live))
+
+    return jax.jit(multi_step, donate_argnums=(0,))

@@ -198,10 +198,6 @@ def train_loop(
             raise ValueError("--mask-input is not supported with --mesh")
         if args.grad_accum > 1:
             raise ValueError("--grad-accum is not supported with --mesh")
-        if args.steps_per_call > 1:
-            raise ValueError(
-                "--steps-per-call is not supported with --mesh"
-            )
         d, g = parse_mesh(args.mesh)
         ndev = d * g
         link_dev = d if args.context_parallel else ndev
@@ -223,10 +219,17 @@ def train_loop(
             cfg, optimizer, mesh, ds.num_nodes, sg.rows_per_shard,
             sg.ctx_rows_per_shard, num_negative=args.num_negative,
             context_parallel=args.context_parallel,
+            steps_per_call=args.steps_per_call,
         )
 
-        def step_call(state, src, tgt, w):
-            return sharded_step(state, sg, mult, src, tgt, w, step_key)
+        if args.steps_per_call > 1:
+            def group_call(state, srcs, tgts, ws, live):
+                return sharded_step(
+                    state, sg, mult, srcs, tgts, ws, live, step_key
+                )
+        else:
+            def step_call(state, src, tgt, w):
+                return sharded_step(state, sg, mult, src, tgt, w, step_key)
     else:
         train_step = step_mod.make_train_step(
             cfg, optimizer,
@@ -260,7 +263,7 @@ def train_loop(
         # ONE scalar at the epoch boundary.
         total_loss = jnp.zeros((), jnp.float32)
         total_examples = 0.0
-        if args.steps_per_call > 1 and not args.mesh:
+        if args.steps_per_call > 1:
             # K optimizer steps per executable launch (lax.scan device
             # loop): same math, 1/K the dispatch overhead
             for srcs, tgts, ws, live in _iter_step_groups(

@@ -263,3 +263,54 @@ def test_trainer_mesh_path_end_to_end():
     for k in want:
         for a, b in zip(got[k], want[k]):
             assert abs(a - b) < 2e-3, (k, got[k], want[k])
+
+
+def test_mesh_multi_step_matches_sequential():
+    """steps_per_call>1 on the mesh: K scanned optimizer steps in one
+    program equal K sequential sharded-step launches (same rng scheme:
+    the per-step fold is on state.step), incl. a dead padded tail."""
+    import optax
+    from lpformer_tpu.parallel import (
+        make_sharded_train_step, partition_graph, place_sharded_graph,
+    )
+    from lpformer_tpu.train import make_optimizer
+    from lpformer_tpu.train.step import TrainState
+    from lpformer_tpu.models import init_lpformer
+
+    ds, cfg, params, src, tgt, neg, w, rng = _setup()
+    mesh = make_mesh(data=2, graph=2, devices=jax.devices()[:4])
+    sg = place_sharded_graph(partition_graph(ds.graph, g=2, d=2), mesh)
+    opt = make_optimizer(5e-3, steps_per_epoch=10)
+    mult = ds.mask_mult_device
+    common = dict(num_nodes=ds.num_nodes, rows_per=sg.rows_per_shard,
+                  ctx_rows_per=sg.ctx_rows_per_shard)
+
+    tp = np.asarray(ds.train_pos)
+    k, b = 3, 32
+    srcs = jnp.asarray(tp[: k * b, 0].reshape(k, b))
+    tgts = jnp.asarray(tp[: k * b, 1].reshape(k, b))
+    ws = jnp.ones((k, b), jnp.float32)
+    live = jnp.asarray([1.0, 1.0, 0.0])
+    key = jax.random.PRNGKey(7)
+
+    step1 = make_sharded_train_step(cfg, opt, mesh, **common)
+    st = TrainState(jax.tree_util.tree_map(jnp.array, params),
+                    opt.init(params), jnp.asarray(0, jnp.int32))
+    seq_losses = []
+    for i in range(2):  # only the live steps
+        st, l = step1(st, sg, mult, srcs[i], tgts[i], ws[i], key)
+        seq_losses.append(float(l))
+
+    stepk = make_sharded_train_step(cfg, opt, mesh, steps_per_call=k,
+                                    **common)
+    st2 = TrainState(jax.tree_util.tree_map(jnp.array, params),
+                     opt.init(params), jnp.asarray(0, jnp.int32))
+    st2, losses = stepk(st2, sg, mult, srcs, tgts, ws, live, key)
+    np.testing.assert_allclose(
+        np.asarray(losses)[:2], seq_losses, rtol=1e-5)
+    assert float(losses[2]) == 0.0
+    assert int(st2.step) == int(st.step)  # dead tail left the counter
+    for a, b_ in zip(jax.tree_util.tree_leaves(st.params),
+                     jax.tree_util.tree_leaves(st2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=1e-6)
