@@ -414,9 +414,12 @@ def calc_pairwise(
     remat = cfg.remat_pairwise
     if remat is None:
         # auto: the largest pairwise-space activation held for backward
-        # ([B, C, dim] xj_node / xj on either path)
+        # ([B, C, dim] xj_node / xj on either path). Threshold calibrated
+        # by the ppa-like preset: 2.7 GB held OOM'd a 16 GB chip by
+        # 0.64 GB (sub-128 dims also lane-pad 2x in HBM), so remat kicks
+        # in at 2 GB.
         bsz, ctot = ctx.ids.shape
-        remat = bsz * ctot * cfg.dim * 4 > 3e9
+        remat = bsz * ctot * cfg.dim * 4 > 2e9
     if remat and not return_weights:
         attend = jax.checkpoint(attend)
     pairwise_feats, att_weights = attend(

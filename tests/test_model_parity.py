@@ -134,3 +134,23 @@ def test_jit_consistency():
     np.testing.assert_allclose(
         np.asarray(eager), np.asarray(jitted), rtol=2e-5, atol=2e-6
     )
+
+
+def test_forward_multi_head_matches_oracle():
+    """num_heads=2: concat-head GATv2 attention (reference
+    layers.py:179-181) through the XLA path vs the dense oracle — the
+    Pallas kernel is heads==1-only and must auto-fall back here."""
+    ds, cfg, params, A_w, adj_bin, ppr_dense = _setup(
+        (1e-3, 1e-3), seed=9, num_heads=2
+    )
+    links = [(int(s), int(t)) for s, t in ds.valid_pos[:10]]
+    src = jnp.asarray([s for s, _ in links])
+    tgt = jnp.asarray([t for _, t in links])
+    import dataclasses
+    cfg_force = dataclasses.replace(cfg, use_pallas_attention=True)
+    got = np.asarray(
+        forward(params, cfg_force, ds.graph, src, tgt, train=False))
+    want = forward_oracle(
+        params, cfg, A_w, adj_bin, ppr_dense, np.asarray(ds.graph.x), links
+    )
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
