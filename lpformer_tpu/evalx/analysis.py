@@ -66,16 +66,17 @@ def test_by_cn_bins(
     cn = compute_edge_cn(ds, np.asarray(ds.test_pos))
 
     out = {}
+    neg_sorted = jnp.sort(jnp.asarray(neg))  # once, not per bin
     for lo, hi in zip(bins[:-1], bins[1:]):
         m = (cn >= lo) & (cn < hi)
         if m.sum() == 0:
             continue
-        hits = metrics.evaluate_hits(
-            jnp.asarray(pos[m]), jnp.asarray(neg), [k]
-        )
+        hit = float(metrics.evaluate_hits_single(
+            jnp.asarray(pos[m]), neg_sorted, k, neg_sorted=True
+        ))
         out[f"cn[{lo},{hi})"] = {
             "n": int(m.sum()),
-            f"Hits@{k}": hits[f"Hits@{k}"],
+            f"Hits@{k}": hit,
         }
     return out
 

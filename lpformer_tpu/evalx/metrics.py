@@ -57,6 +57,19 @@ def mrr_ranks(
     return 0.5 * (optimistic + pessimistic).astype(jnp.float32) + 1.0
 
 
+def mrr_ranks_shared(
+    pos_pred: jnp.ndarray, neg_sorted: jnp.ndarray
+) -> jnp.ndarray:
+    """``mrr_ranks`` against ONE shared negative set, without the dense
+    [P, K] broadcast (collab-scale P·K is tens of GB): with negatives
+    sorted ascending, #neg >= p and #neg > p are searchsorted counts.
+    ``neg_sorted`` [K] must be pre-sorted ascending."""
+    k = neg_sorted.shape[0]
+    optimistic = k - jnp.searchsorted(neg_sorted, pos_pred, side="left")
+    pessimistic = k - jnp.searchsorted(neg_sorted, pos_pred, side="right")
+    return 0.5 * (optimistic + pessimistic).astype(jnp.float32) + 1.0
+
+
 def evaluate_mrr(
     pos_pred: jnp.ndarray, neg_pred: jnp.ndarray
 ) -> Dict[str, float]:
@@ -74,14 +87,10 @@ def sample_level_hits(
     pos_pred: jnp.ndarray, neg_pred: jnp.ndarray
 ) -> Dict[str, jnp.ndarray]:
     """Per-sample hit indicators (reference: evaluation.py:53-71)."""
-    ranks = mrr_ranks(
-        pos_pred,
-        jnp.broadcast_to(
-            neg_pred.reshape(1, -1), (pos_pred.shape[0], neg_pred.shape[0])
-        )
-        if neg_pred.ndim == 1
-        else neg_pred,
-    )
+    if neg_pred.ndim == 1:  # shared negatives: rank via one sort
+        ranks = mrr_ranks_shared(pos_pred, jnp.sort(neg_pred))
+    else:
+        ranks = mrr_ranks(pos_pred, neg_pred)
     return {
         f"Hits@{k}": (ranks <= k).astype(jnp.float32)
         for k in (20, 50, 100)
@@ -113,17 +122,15 @@ def get_metric_score(
                 pos_test_pred, neg_test_sorted, k, neg_sorted=True)),
         )
     if with_mrr:
-        # shared negatives broadcast per positive (reference :122-124)
-        def _mrr(pos, neg):
-            return float(
-                jnp.mean(1.0 / mrr_ranks(pos, jnp.broadcast_to(
-                    neg.reshape(1, -1), (pos.shape[0], neg.shape[0])
-                )))
-            )
+        # shared negatives per positive (reference :122-124 broadcasts a
+        # dense [P, K]; ranks against one shared set need only the
+        # already-sorted negatives)
+        def _mrr(pos, neg_sorted):
+            return float(jnp.mean(1.0 / mrr_ranks_shared(pos, neg_sorted)))
         result["MRR"] = (
-            _mrr(pos_train_pred, neg_val_pred),
-            _mrr(pos_val_pred, neg_val_pred),
-            _mrr(pos_test_pred, neg_test_pred),
+            _mrr(pos_train_pred, neg_val_sorted),
+            _mrr(pos_val_pred, neg_val_sorted),
+            _mrr(pos_test_pred, neg_test_sorted),
         )
     return result
 

@@ -344,7 +344,7 @@ def fused_link_attention(
     ho = w_r.shape[1]
     # lane-dim tiling wants C tiles of 128: pad the context axis with
     # invalid entries (masked out of the softmax)
-    c_tile = min(128, c) if c % 128 == 0 or c < 128 else 128
+    c_tile = min(128, c)
     kbytes = 2 if keys.dtype == jnp.bfloat16 else 4
 
     def _fit_bb(bb, n_key_blocks, n_temps):

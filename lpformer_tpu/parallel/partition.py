@@ -152,7 +152,10 @@ def partition_graph(
     )
     e_blk = max(e_blk, 1)
     es = np.zeros((g, d, e_blk), np.int32)
-    ed = np.zeros((g, d, e_blk), np.int32)
+    # Pad dst with rows_per (one past the last local row): keeps the
+    # block monotonic so segment_sum's indices_are_sorted=True promise
+    # holds, and out-of-range ids are dropped by num_segments=rows_per.
+    ed = np.full((g, d, e_blk), rows_per, np.int32)
     ew = np.zeros((g, d, e_blk), np.float32)
     for i in range(g):
         for j in range(d):

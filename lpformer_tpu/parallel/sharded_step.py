@@ -123,11 +123,17 @@ def _gcn_sharded(
     lns = params.get("lns")
     x = x_shard
     for i, conv in enumerate(params["convs"]):
-        y_shard = x @ conv["w"]
-        y_full = jax.lax.all_gather(y_shard, "graph", axis=0, tiled=True)
+        # mm_dtype mirrors the single-device path (models/gcn.py): bf16
+        # MXU inputs + bf16 all-gather/edge-gather traffic, f32
+        # accumulation everywhere.
+        y_shard = nn.matmul(x, conv["w"], cfg.mm_dtype)
+        y_comm = (
+            y_shard if cfg.mm_dtype is None else y_shard.astype(cfg.mm_dtype)
+        )
+        y_full = jax.lax.all_gather(y_comm, "graph", axis=0, tiled=True)
         part = jax.ops.segment_sum(
-            y_full[es] * ew[:, None], ed, num_segments=rows_per,
-            indices_are_sorted=True,
+            y_full[es].astype(y_shard.dtype) * ew[:, None], ed,
+            num_segments=rows_per, indices_are_sorted=True,
         )
         xi = jax.lax.psum(part, "data") + diag_shard[:, None] * y_shard
         xi = xi + conv["bias"]
@@ -161,12 +167,6 @@ def _propagate_sharded(params, cfg, x_sh, es, ed, ew, diag_sh, rows_per,
     X_shard = nn.layer_norm_apply(params["gnn_norm"], X_shard)
     X_full = jax.lax.all_gather(X_shard, "graph", axis=0, tiled=True)
     return X_full[:num_nodes]
-
-
-def _ctx_arrs(args):
-    """The six context-table shards out of the flat shard_map args."""
-    (adj_nbrs, adj_vals, adj_ranks, ppr_nbrs, ppr_vals, ppr_flags) = args
-    return adj_nbrs, adj_vals, adj_ranks, ppr_nbrs, ppr_vals, ppr_flags
 
 
 def _sg_in_specs():

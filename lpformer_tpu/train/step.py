@@ -59,6 +59,9 @@ def loss_fn(
     prop_edge_w,
     rng,
     double_propagate: bool = True,
+    *,
+    pos_denom=None,
+    neg_denom=None,
 ):
     rng_pos, rng_neg = jax.random.split(rng)
     if double_propagate:
@@ -89,11 +92,17 @@ def loss_fn(
     )
 
     w = pos_weight
-    wsum = jnp.maximum(jnp.sum(w), 1.0)
+    # pos/neg_denom let grad-accum micro-batches normalize by the FULL
+    # batch's weight sums so the summed micro losses/grads equal the
+    # monolithic step's (a per-micro mean would underweight a padded
+    # ragged tail by up to grad_accum x).
+    wsum = jnp.maximum(jnp.sum(w), 1.0) if pos_denom is None else pos_denom
     pos_loss = -jnp.sum(jnp.log(pos_out + 1e-6) * w) / wsum
     # negatives replicate pos edges num_negative times; weight alike
     nw = jnp.repeat(w, neg_out.shape[0] // w.shape[0])
-    nwsum = jnp.maximum(jnp.sum(nw), 1.0)
+    nwsum = (
+        jnp.maximum(jnp.sum(nw), 1.0) if neg_denom is None else neg_denom
+    )
     neg_loss = -jnp.sum(jnp.log(1.0 - neg_out + 1e-6) * nw) / nwsum
     return pos_loss + neg_loss
 
@@ -113,12 +122,14 @@ def make_train_step(
       -> (state, loss)
 
     ``grad_accum`` > 1 splits the batch into that many micro-batches
-    scanned sequentially, averaging gradients before ONE optimizer
-    update. The positive-edge mask is computed from the FULL batch (the
-    reference masks every batch positive, train_model.py:38-45), so the
-    semantics match the monolithic step exactly up to loss-term
-    grouping; peak activation memory scales with the micro-batch. Use
-    for high-degree configs (ddi/ppa-like) on 16GB chips.
+    scanned sequentially, summing micro gradients (each normalized by
+    the FULL batch's weight sums) before ONE optimizer update. The
+    positive-edge mask is computed from the FULL batch (the reference
+    masks every batch positive, train_model.py:38-45), so the semantics
+    match the monolithic step exactly — including padded ragged tails —
+    up to float reassociation and per-micro dropout draws; peak
+    activation memory scales with the micro-batch. Use for high-degree
+    configs (ddi/ppa-like) on 16GB chips.
 
     ``steps_per_call`` > 1 returns a device loop instead: the jitted fn
     takes K stacked batches ``src/tgt/w: [K, B]`` plus a ``live: [K]``
@@ -163,8 +174,14 @@ def make_train_step(
             assert b % grad_accum == 0, (
                 f"batch {b} not divisible by grad_accum {grad_accum}"
             )
-            mb = b % grad_accum == 0 and b // grad_accum
+            mb = b // grad_accum
             nmb = (b * num_negative) // grad_accum
+            # normalize every micro-batch by the FULL batch's weight sums
+            # so summing micro losses/grads reproduces the monolithic
+            # step exactly even when a padded ragged tail leaves some
+            # micro-batches underweighted
+            pos_denom = jnp.maximum(jnp.sum(w), 1.0)
+            neg_denom = jnp.maximum(jnp.sum(w) * num_negative, 1.0)
 
             def micro(carry, xs):
                 acc_loss, acc_grads = carry
@@ -172,6 +189,7 @@ def make_train_step(
                 l, g = jax.value_and_grad(loss_fn)(
                     state.params, cfg, graph, msrc, mtgt, mns, mnt, mw,
                     mask_ranks, prop_w, mrng, double_propagate,
+                    pos_denom=pos_denom, neg_denom=neg_denom,
                 )
                 return (
                     acc_loss + l,
@@ -188,10 +206,6 @@ def make_train_step(
                 jax.random.split(rng_loss, grad_accum),
             )
             (loss, grads), _ = jax.lax.scan(micro, (0.0, zeros), xs)
-            loss = loss / grad_accum
-            grads = jax.tree_util.tree_map(
-                lambda g: g / grad_accum, grads
-            )
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )

@@ -71,3 +71,19 @@ def test_auc_matches_sklearn():
     got = metrics.evaluate_auc(pred, true)
     assert abs(got["AUC"] - round(float(roc_auc_score(true, pred)), 4)) < 1e-9
     assert abs(got["AP"] - round(float(average_precision_score(true, pred)), 4)) < 2e-4
+
+
+def test_mrr_ranks_shared_matches_dense_with_ties():
+    """The sort+searchsorted shared-negative rank path must equal the
+    dense [P, K] broadcast, including heavy score ties."""
+    rng = np.random.default_rng(11)
+    pos = np.round(rng.random(64), 1)   # quantized -> many exact ties
+    neg = np.round(rng.random(97), 1)
+    dense = metrics.mrr_ranks(
+        jnp.asarray(pos),
+        jnp.broadcast_to(jnp.asarray(neg)[None, :], (64, 97)),
+    )
+    shared = metrics.mrr_ranks_shared(
+        jnp.asarray(pos), jnp.sort(jnp.asarray(neg))
+    )
+    np.testing.assert_allclose(np.asarray(shared), np.asarray(dense))
