@@ -58,7 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use-val-in-test", action="store_true", default=False)
     p.add_argument("--heart", action="store_true", default=False)
     p.add_argument("--save-as", type=str, default=None)
-    p.add_argument("--metric", type=str, default="Hits@100")
+    p.add_argument("--metric", type=str, default=None,
+                   help="eval metric for model selection (default: the "
+                        "reference's per-dataset choice, run.py:102-120; "
+                        "an explicit value wins)")
     p.add_argument("--checkpoint", type=str, default=None)
     p.add_argument("--eps", type=float, default=1e-4)
     p.add_argument("--thresh-cn", type=float, default=0)
@@ -251,7 +254,8 @@ def main(argv=None):
     init_seed(args.seed)  # reference init_seed (utils.py:11-17)
 
     ds = load_dataset(args)
-    args.metric = default_metric(args)
+    if args.metric is None:  # explicit --metric (or config) wins
+        args.metric = default_metric(args)
     cfg = build_config(args, ds)
 
     from lpformer_tpu.train.trainer import TrainArgs, train_data

@@ -47,8 +47,9 @@ class LPFormerConfig:
     # rematerialize the per-link pairwise block (context keys + attention)
     # in backward: trades recompute for not holding the [B, C, 2*dim]
     # activations — needed for high-degree configs (ddi-like) where those
-    # tensors are multi-GB. None = auto (remat when the activation
-    # footprint exceeds ~1GB)
+    # tensors are multi-GB. None = auto (remat when the estimated
+    # activation footprint exceeds 2 GB — calibrated by the ppa-like
+    # preset OOM'ing a 16 GB chip at a 3 GB threshold)
     remat_pairwise: "bool | None" = None
 
     # static per-class context budgets (TPU shape caps; set to the padded
@@ -65,16 +66,13 @@ class LPFormerConfig:
 
     @property
     def mask_mode(self) -> str:
-        if self.thresh_non1hop == 1 and self.thresh_1hop == 1:
-            return "cn"
-        if self.thresh_non1hop == 1 and self.thresh_1hop < 1:
-            return "1-hop"
-        return "all"
+        return self.context.mask_mode
 
     @property
     def context(self) -> ContextConfig:
-        return ContextConfig(
-            mask_mode=self.mask_mode,
+        # ContextConfig.from_thresholds owns the threshold -> mode
+        # decision table (a threshold of 1 excludes that node class)
+        return ContextConfig.from_thresholds(
             thresh_cn=self.thresh_cn,
             thresh_1hop=self.thresh_1hop,
             thresh_non1hop=self.thresh_non1hop,

@@ -119,14 +119,6 @@ class ContextTables:
     overflow: jnp.ndarray  # [B] int32 entries dropped by budgets
 
 
-def _ppr_lookup(
-    ppr: PaddedRows, node_idx: jnp.ndarray, queries: jnp.ndarray
-) -> jnp.ndarray:
-    """ppr(node_idx[b], queries[b, q]); 0.0 when absent."""
-    _, v = row_lookup(ppr.nbrs[node_idx], ppr.vals[node_idx], queries, 0.0)
-    return v
-
-
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=[
@@ -196,7 +188,12 @@ def _compact(
     the *least important* context nodes. The reference has no budgets
     (budget = cap is exact); counts stay exact regardless. Values ride
     f32 lanes: node ids and both PPR values are exact for graphs with
-    N < 2^24 (all targets; ogbl-citation2 is 2.9M).
+    N < 2^24 (all targets; ogbl-citation2 is 2.9M). Exactness REQUIRES
+    Precision.HIGHEST on the dot_general: TPU DEFAULT matmul precision
+    truncates f32 inputs to bf16 (8 mantissa bits), which rounds any
+    node id > 256 (verified on v5e: id 123456 came back 123392).
+    HIGHEST runs exact 3-way bf16 decompositions, and the lane count is
+    tiny (4), so the cost is negligible next to the [B, I, O] one-hot.
 
     The top-k selection avoids a full sort: ``lax.top_k`` on the score
     alone finds the row's k-th score (values only, no gather of the
@@ -239,6 +236,7 @@ def _compact(
     out = jax.lax.dot_general(
         oh, stacked, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # see docstring: exactness
     )                                                           # [B, O, 4]
     v2 = out[..., 3] > 0.5
     ids2 = jnp.where(v2, out[..., 0].astype(jnp.int32), num_nodes)

@@ -65,6 +65,14 @@ def row_member_values(
     2^24 f32-exact range — ogbl-citation2 has ~30M unique train edges)
     are split into two 15-bit halves, each exact in f32, and
     reassembled after the reduction.
+
+    The dot_general MUST run at Precision.HIGHEST: TPU DEFAULT matmul
+    precision truncates f32 inputs to bf16 (8 mantissa bits), which
+    silently rounds the 15-bit halves (verified on v5e: stored -1 came
+    back -32768) and the float value lanes. HIGHEST's exact 3-way bf16
+    decomposition restores true-f32 products; the cost is negligible —
+    the contraction output has only L+1 lanes, and the step cost of
+    this op is dominated by building the [B, Q, K] equality tensor.
     """
     b, k = rows.shape
     q = queries.shape[1]
@@ -93,6 +101,7 @@ def row_member_values(
             jax.lax.dot_general(
                 eq, stacked, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,  # exactness (docstring)
             )                                            # [B, qc, L+1]
         )
     out = jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]

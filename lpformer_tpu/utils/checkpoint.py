@@ -4,8 +4,9 @@ The reference saves {model, score_func, optimizer} state dicts on
 best-valid improvement and reloads only for eval
 (reference: src/util/utils.py:21-51 — no mid-training resume). Here a
 checkpoint carries params + optimizer state + step + PRNG key + epoch so
-training can genuinely resume; orbax is used when available with an npz
-pytree fallback.
+training can genuinely resume. Format: a pickle of (treedef, numpy
+leaves) — same-codebase loads only; not stable across JAX versions the
+way key-path npz / orbax checkpoints would be.
 """
 from __future__ import annotations
 
