@@ -33,7 +33,13 @@ class LPFormerConfig:
     pred_drop: float = 0.0
 
     # "bfloat16" runs every matmul with bf16 inputs + f32 accumulation
-    # (the TPU-native precision; parity tests use float32)
+    # (the TPU-native precision; parity tests use float32). Note that
+    # even in "float32" mode, DENSE-layer matmuls run at the backend's
+    # default matmul precision (on TPU: one bf16 pass per product —
+    # the TPU analog of CUDA TF32); set JAX_DEFAULT_MATMUL_PRECISION=
+    # highest for bit-faithful f32 dense layers. Exactness-dependent
+    # ops (id/rank lookups, compaction, SpMM accumulation) pin their
+    # own precision and are exact regardless of this setting.
     matmul_dtype: str = "float32"
 
     # fused Pallas PE+attention kernel (ops/pallas/pe_attention.py) for

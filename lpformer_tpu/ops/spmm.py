@@ -158,7 +158,12 @@ def _spmm_ell_raw(ell, w_norm, x, diag, gather_dtype):
     def body(acc, xs):
         nb_c, w_c = xs
         g = xg[nb_c.reshape(-1)].reshape(n, kc, d).astype(x.dtype)
-        return acc + jnp.einsum("nk,nkd->nd", w_c, g), None
+        # HIGHEST: TPU DEFAULT would truncate the f32 products to bf16,
+        # breaking the documented f32 accumulation; the k<=8 contraction
+        # is compute-trivial next to the row gather.
+        return acc + jnp.einsum(
+            "nk,nkd->nd", w_c, g, precision=jax.lax.Precision.HIGHEST
+        ), None
 
     if nsteps == 1:
         out, _ = body(acc0, (nb_s[0], ws_s[0]))
@@ -244,7 +249,10 @@ def _tier_sweep(nb, ws, xg, out_dtype, kc):
     def body(acc, xs):
         nb_c, w_c = xs
         g = xg[nb_c.reshape(-1)].reshape(n_t, kc, d).astype(out_dtype)
-        return acc + jnp.einsum("nk,nkd->nd", w_c, g), None
+        # HIGHEST: keep the f32 products exact (see _spmm_ell_raw)
+        return acc + jnp.einsum(
+            "nk,nkd->nd", w_c, g, precision=jax.lax.Precision.HIGHEST
+        ), None
 
     if nsteps == 1:
         out, _ = body(jnp.zeros((n_t, d), out_dtype), (nb, ws))
