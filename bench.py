@@ -23,7 +23,9 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+import tempfile
 import time
 
 
@@ -281,10 +283,13 @@ def main():
         "step_bound": est.bound,
         "bytes_per_link": round(est.bytes / args.batch, 1),
     }
-    if args.smoke:
+    if args.smoke and args.details_out == "bench_details.json":
         # a CPU sanity run must not clobber the committed real-TPU
-        # artifact the judge reads
-        args.details_out = "/tmp/bench_details_smoke.json"
+        # artifact the judge reads; an explicit --details-out wins
+        args.details_out = os.path.join(
+            tempfile.gettempdir(), f"bench_details_smoke_{os.getpid()}.json"
+        )
+        print(f"[smoke] details -> {args.details_out}", file=sys.stderr)
     try:
         with open(args.details_out, "w") as f:
             json.dump(details, f, indent=1)
