@@ -1,0 +1,333 @@
+"""Per-layer activation parity vs the ACTUAL reference implementation.
+
+Unlike tests/test_model_parity.py (which compares against a re-derived
+numpy oracle), these tests import the reference's own
+`models/link_transformer.py` + `modules/layers.py` UNMODIFIED (dense
+shims for torch_scatter/torch_sparse/torch_geometric live in
+tests/torch_shims/), copy this framework's weights into it via
+utils/interop.py, and assert allclose per layer:
+
+  * X_node after propagate (reference: link_transformer.py:100,110-129)
+  * context membership, node class and (src_ppr, tgt_ppr) per
+    (link, node) pair (reference: :214-319,434-481)
+  * positional encodings (reference: :182-211)
+  * attention alpha (reference: layers.py:218-220)
+  * structure counts (reference: :340-386)
+  * final h = [elementwise || pairwise] (reference: :82-107)
+  * sigmoid(mlp_score(h)) (reference: other_models.py:173-179)
+
+A transcription error in reading the reference equations would land in
+both the oracle and the pipeline; it cannot land in the reference's own
+code — this is the north star's literal "allclose vs the PyTorch
+reference" (BASELINE.md).
+"""
+import numpy as np
+import pytest
+
+import refshim
+
+pytestmark = pytest.mark.skipif(
+    not refshim.reference_available(),
+    reason=f"reference source not found at {refshim.REF_ROOT}",
+)
+
+import jax
+import jax.numpy as jnp
+
+from lpformer_tpu.data.synthetic import synthetic_dataset
+from lpformer_tpu.models import (
+    LPFormerConfig,
+    calc_pairwise,
+    forward,
+    init_lpformer,
+    propagate,
+    score_links,
+)
+from lpformer_tpu.models.link_transformer import _pos_encodings
+from lpformer_tpu.ops.context import extract_context
+from lpformer_tpu.utils.interop import export_reference_state
+
+MODES = {"all": (1e-3, 1e-3), "1-hop": (1e-3, 1), "cn": (1, 1)}
+
+
+def _patch_cn_mode_torch_bug(rlt):
+    """Restore the reference's documented precondition on torch >= 2.1.
+
+    In cn mode, ``pair_adj = src_adj * tgt_adj`` (reference:
+    link_transformer.py:234). On torch 2.13 sparse*sparse returns the
+    UNION of supports with explicit zeros (pytorch#114529 — the bug the
+    reference's own comment at :304-306 cites), violating the function's
+    stated invariant "Adj used here has no edge weights. Only 0/1!!!"
+    (:222) and crashing get_ppr_vals at :313 with a mask-length mismatch
+    (the zero-filtered src_ppr no longer aligns with the unfiltered
+    pair values). The reference's published configs never exercise pure
+    cn mode, so the breakage went unnoticed. This wrapper drops the
+    explicit-zero entries BEFORE the reference's unmodified math runs —
+    exactly what its pinned older torch produced. A no-op for the
+    "1-hop"/"all" modes (sparse add creates no zero values).
+    """
+    import torch
+
+    orig = rlt.LinkTransformer.get_ppr_vals
+    if getattr(orig, "_zero_drop_patch", False):
+        return
+
+    def patched(self, batch, pair_diff_adj, test_set=False):
+        pd = pair_diff_adj.coalesce()
+        keep = pd.values() != 0
+        if not bool(keep.all()):
+            pd = torch.sparse_coo_tensor(
+                pd.indices()[:, keep], pd.values()[keep], pd.shape
+            ).coalesce()
+        return orig(self, batch, pd, test_set)
+
+    patched._zero_drop_patch = True
+    rlt.LinkTransformer.get_ppr_vals = patched
+
+
+def _setup(mode, trans_layers=1, num_heads=1, seed=0):
+    import torch
+
+    ds = synthetic_dataset(
+        seed=seed, num_nodes=70, num_train=260, num_eval=24, feat_dim=10,
+        eps=1e-3,
+    )
+    t1, tn = MODES[mode]
+    cfg = LPFormerConfig(
+        dim=24, gnn_layers=2, trans_layers=trans_layers,
+        num_heads=num_heads, thresh_cn=0.0, thresh_1hop=t1,
+        thresh_non1hop=tn, budget_cn=70, budget_onehop=140,
+        budget_non1hop=70, dropout=0.0, gnn_drop=0.0, att_drop=0.0,
+        feat_drop=0.0, use_pallas_attention=False,
+    )
+    assert cfg.mask_mode == mode
+    params = init_lpformer(jax.random.PRNGKey(seed + 7), cfg, in_dim=10)
+
+    rlt, rom, _ = refshim.load_reference()
+    _patch_cn_mode_torch_bug(rlt)
+    data = refshim.build_reference_data(ds)
+    model = rlt.LinkTransformer(
+        refshim.make_train_args(cfg), data, device="cpu"
+    )
+    sd = export_reference_state(params)
+    refshim.load_torch_state(model, sd["model"])
+    # hidden = out_dim (reference: run.py:43, train_model.py:97)
+    score = rom.mlp_score(model.out_dim, model.out_dim, 1, cfg.pred_layers)
+    refshim.load_torch_state(score, sd["score_func"])
+    model.eval()
+    score.eval()
+
+    links = [(int(s), int(t)) for s, t in ds.valid_pos[:12]]
+    links.append((int(ds.valid_pos[0, 0]), int(ds.valid_pos[0, 0])))
+    batch_t = torch.tensor(
+        [[s for s, _ in links], [t for _, t in links]], dtype=torch.long
+    )
+    src = jnp.asarray([s for s, _ in links], jnp.int32)
+    tgt = jnp.asarray([t for _, t in links], jnp.int32)
+    return ds, cfg, params, model, score, batch_t, src, tgt
+
+
+def _ref_context(model, batch_t):
+    """{(link, node): (cls, src_ppr, tgt_ppr)} straight from the reference
+    (cls uses this framework's coding: 2=cn, 1=1-hop, 3=>1-hop)."""
+    import torch
+
+    with torch.no_grad():
+        cn_info, onehop_info, non1hop_info = model.compute_node_mask(
+            batch_t, False, None
+        )
+    out = {}
+    infos = [(cn_info, 2), (onehop_info, 1), (non1hop_info, 3)]
+    for info, cls in infos:
+        if info is None:
+            continue
+        ix = info[0].numpy()
+        ps, pt = info[1].numpy(), info[2].numpy()
+        for b, v, p, q in zip(ix[0], ix[1], ps, pt):
+            out[(int(b), int(v))] = (cls, float(p), float(q))
+    return out, (cn_info, onehop_info, non1hop_info)
+
+
+def _my_context(ds, cfg, src, tgt):
+    ctx = extract_context(
+        ds.graph.adj_rows, ds.graph.ppr_rows, src, tgt, cfg.context,
+        train=False,
+    )
+    ids = np.asarray(ctx.ids)
+    cls = np.asarray(ctx.cls)
+    ps = np.asarray(ctx.src_ppr)
+    pt = np.asarray(ctx.tgt_ppr)
+    valid = np.asarray(ctx.valid)
+    out = {}
+    for b in range(ids.shape[0]):
+        for c in range(ids.shape[1]):
+            if valid[b, c]:
+                out[(b, int(ids[b, c]))] = (
+                    int(cls[b, c]), float(ps[b, c]), float(pt[b, c])
+                )
+    return out, ctx
+
+
+@pytest.mark.parametrize("mode", ["all", "1-hop", "cn"])
+def test_xnode_matches_reference(mode):
+    import torch
+
+    ds, cfg, params, model, _, _, _, _ = _setup(mode)
+    with torch.no_grad():
+        want = model.propagate().numpy()
+    got = np.asarray(propagate(params, cfg, ds.graph, train=False))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("mode", ["all", "1-hop", "cn"])
+def test_context_membership_matches_reference(mode):
+    ds, cfg, _, model, _, batch_t, src, tgt = _setup(mode)
+    ref, _ = _ref_context(model, batch_t)
+    mine, _ = _my_context(ds, cfg, src, tgt)
+    assert set(mine) == set(ref), (
+        f"context sets differ: only-ref={set(ref) - set(mine)} "
+        f"only-mine={set(mine) - set(ref)}"
+    )
+    for k, (cls_r, ps_r, pt_r) in ref.items():
+        cls_m, ps_m, pt_m = mine[k]
+        assert cls_m == cls_r, f"{k}: class {cls_m} != ref {cls_r}"
+        np.testing.assert_allclose(
+            [ps_m, pt_m], [ps_r, pt_r], rtol=1e-5, atol=1e-7,
+            err_msg=f"ppr values differ at {k}",
+        )
+
+
+@pytest.mark.parametrize("mode", ["all", "1-hop", "cn"])
+def test_pos_encodings_match_reference(mode):
+    import torch
+
+    ds, cfg, params, model, _, batch_t, src, tgt = _setup(mode)
+    _, infos = _ref_context(model, batch_t)
+    with torch.no_grad():
+        pes = model.get_pos_encodings(
+            *[i for i in infos if i is not None]
+        ).numpy()
+    # reference row order = concatenated info columns
+    keys = []
+    for info in infos:
+        if info is None:
+            continue
+        ix = info[0].numpy()
+        keys += [(int(b), int(v)) for b, v in zip(ix[0], ix[1])]
+    assert len(keys) == pes.shape[0]
+
+    mine, ctx = _my_context(ds, cfg, src, tgt)
+    my_pes = np.asarray(_pos_encodings(params, cfg, ctx))
+    ids = np.asarray(ctx.ids)
+    valid = np.asarray(ctx.valid)
+    pos = {}
+    for b in range(ids.shape[0]):
+        for c in range(ids.shape[1]):
+            if valid[b, c]:
+                pos[(b, int(ids[b, c]))] = my_pes[b, c]
+    for k, want in zip(keys, pes):
+        np.testing.assert_allclose(
+            pos[k], want, rtol=2e-4, atol=2e-5,
+            err_msg=f"pe differs at {k}",
+        )
+
+
+@pytest.mark.parametrize("mode", ["all", "1-hop", "cn"])
+def test_structure_counts_match_reference(mode):
+    import torch
+
+    ds, cfg, _, model, _, batch_t, src, tgt = _setup(mode)
+    _, (cn_info, onehop_info, non1hop_info) = _ref_context(model, batch_t)
+    _, ctx = _my_context(ds, cfg, src, tgt)
+    counts = np.asarray(ctx.counts)  # [B, 4] cns, 1hop, non1hop, neighbors
+    with torch.no_grad():
+        if mode == "cn":
+            num_cns = model.get_count(cn_info[0], batch_t, False)
+            np.testing.assert_allclose(
+                counts[:, 0], num_cns.numpy()[:, 0], atol=1e-6
+            )
+        else:
+            cns, one, non1, nbr = model.get_structure_cnts(
+                batch_t, cn_info, onehop_info, non1hop_info, test_set=False
+            )
+            np.testing.assert_allclose(counts[:, 0], cns.numpy()[:, 0],
+                                       atol=1e-6)
+            np.testing.assert_allclose(counts[:, 1], one.numpy()[:, 0],
+                                       atol=1e-6)
+            if non1 is not None:
+                np.testing.assert_allclose(counts[:, 2], non1.numpy()[:, 0],
+                                           atol=1e-6)
+            np.testing.assert_allclose(counts[:, 3], nbr.numpy()[:, 0],
+                                       atol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["all", "cn"])
+def test_attention_alpha_matches_reference(mode):
+    import torch
+
+    ds, cfg, params, model, _, batch_t, src, tgt = _setup(mode)
+    _, infos = _ref_context(model, batch_t)
+    present = [i for i in infos if i is not None]
+    all_mask = torch.cat([i[0] for i in present], dim=-1)
+    with torch.no_grad():
+        X_node_t = model.propagate()
+        pes = model.get_pos_encodings(*present)
+        pairwise = torch.cat(
+            (X_node_t[batch_t[0]], X_node_t[batch_t[1]]), dim=-1
+        )
+        _, att_w = model.att_layers[0](
+            all_mask, pairwise, X_node_t, pes, None, True
+        )
+    ref_alpha = {
+        (int(b), int(v)): float(w)
+        for b, v, w in zip(
+            att_w[0].numpy(), all_mask[1].numpy(), att_w[1].numpy()
+        )
+    }
+
+    X_node = propagate(params, cfg, ds.graph, train=False)
+    _, ctx = _my_context(ds, cfg, src, tgt)
+    _, alpha = calc_pairwise(
+        params, cfg, X_node, src, tgt, ctx, train=False,
+        return_weights=True,
+    )
+    alpha = np.asarray(alpha).mean(-1)  # [B, C] (mean over heads, ref :74)
+    ids = np.asarray(ctx.ids)
+    valid = np.asarray(ctx.valid)
+    mine_alpha = {
+        (b, int(ids[b, c])): float(alpha[b, c])
+        for b in range(ids.shape[0])
+        for c in range(ids.shape[1])
+        if valid[b, c]
+    }
+    assert set(mine_alpha) == set(ref_alpha)
+    for k, w in ref_alpha.items():
+        np.testing.assert_allclose(
+            mine_alpha[k], w, rtol=2e-4, atol=2e-5,
+            err_msg=f"alpha differs at {k}",
+        )
+
+
+@pytest.mark.parametrize(
+    "mode,trans_layers,num_heads",
+    [
+        ("all", 1, 1),
+        ("1-hop", 1, 1),
+        ("cn", 1, 1),
+        ("all", 2, 1),
+        ("all", 1, 2),
+    ],
+)
+def test_forward_and_score_match_reference(mode, trans_layers, num_heads):
+    import torch
+
+    ds, cfg, params, model, score, batch_t, src, tgt = _setup(
+        mode, trans_layers=trans_layers, num_heads=num_heads
+    )
+    with torch.no_grad():
+        h_ref = model(batch_t).numpy()
+        s_ref = score(torch.tensor(h_ref)).numpy()
+    h = np.asarray(forward(params, cfg, ds.graph, src, tgt, train=False))
+    np.testing.assert_allclose(h, h_ref, rtol=5e-4, atol=5e-5)
+    s = np.asarray(score_links(params, cfg, jnp.asarray(h_ref)))
+    np.testing.assert_allclose(s, s_ref, rtol=2e-4, atol=2e-6)
