@@ -159,7 +159,17 @@ def train_loop(
     )
     start_epoch = 1
     if args.resume:
-        blob = ckpt.load_checkpoint(args.resume)
+        # restore INTO the freshly-initialized structure: the npz format
+        # stores leaves by key path and rebuilds the optax state
+        # namedtuples from this skeleton (utils/checkpoint.py)
+        skeleton = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": state.step,
+            "epoch": 0,
+            "seed": 0,
+        }
+        blob = ckpt.load_checkpoint(args.resume, target=skeleton)
         if blob is None:
             raise FileNotFoundError(
                 f"--resume checkpoint not found: {args.resume}"

@@ -87,3 +87,18 @@ def test_mrr_ranks_shared_matches_dense_with_ties():
         jnp.asarray(pos), jnp.sort(jnp.asarray(neg))
     )
     np.testing.assert_allclose(np.asarray(shared), np.asarray(dense))
+
+
+def test_auc_hand_computed_oracle():
+    """sklearn-free pin: AUC/AP hand-computed on a 6-point vector
+    (VERDICT r2 #8). pred descending: [.9(+), .8(-), .7(+), .6(+),
+    .4(-), .2(-)] -> pairs correct = 7/9? no: pos={.9,.7,.6},
+    neg={.8,.4,.2}; correctly-ordered (pos>neg) pairs: .9 beats all 3,
+    .7 beats {.4,.2}, .6 beats {.4,.2} = 7 of 9 -> AUC 7/9.
+    AP = mean of precision at each positive hit (ranks 1,3,4):
+    (1/1 + 2/3 + 3/4) / 3 = 29/36."""
+    pred = np.array([0.9, 0.8, 0.7, 0.6, 0.4, 0.2])
+    true = np.array([1.0, 0.0, 1.0, 1.0, 0.0, 0.0])
+    got = metrics.evaluate_auc(pred, true)
+    assert abs(got["AUC"] - round(7.0 / 9.0, 4)) < 1e-9
+    assert abs(got["AP"] - round(29.0 / 36.0, 4)) < 1e-9

@@ -157,3 +157,114 @@ def test_shared_propagation_exact_when_no_gnn_dropout():
                     jax.tree_util.tree_leaves(losses["double"][1])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_checkpoint_format_pickle_free_and_target_restore(tmp_path):
+    """Version-1 checkpoints are a pickle-free npz zip: loadable with
+    allow_pickle=False, generically (nested dicts/lists) or INTO a target
+    pytree (rebuilding optax namedtuples), with structure validation."""
+    import os
+    import zipfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from lpformer_tpu.models import init_lpformer
+    from lpformer_tpu.train import make_optimizer
+    from lpformer_tpu.utils import checkpoint as ckpt
+
+    cfg = _cfg()
+    params = init_lpformer(jax.random.PRNGKey(0), cfg, in_dim=8)
+    opt = make_optimizer(1e-3, steps_per_epoch=10)
+    state = {
+        "params": params,
+        "opt_state": opt.init(params),
+        "step": jnp.asarray(7, jnp.int32),
+        "epoch": 3,
+        "seed": 1,
+    }
+    path = os.path.join(str(tmp_path), "c.ckpt")
+    ckpt.save_checkpoint(path, state)
+
+    assert zipfile.is_zipfile(path)  # npz, not a pickle stream
+    with np.load(path, allow_pickle=False) as z:  # no pickled objects
+        assert "__manifest__" in z.files
+
+    # generic load: params keep the init_lpformer nesting (lists stay lists)
+    blob = ckpt.load_checkpoint(path)
+    assert int(blob["epoch"]) == 3 and int(blob["step"]) == 7
+    assert isinstance(blob["params"]["att_layers"], list)
+    for a, b in zip(jax.tree_util.tree_leaves(blob["params"]),
+                    jax.tree_util.tree_leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # target restore: exact treedef of the skeleton, incl. optax state
+    skeleton = jax.tree_util.tree_map(np.zeros_like, state)
+    restored = ckpt.load_checkpoint(path, target=skeleton)
+    assert (jax.tree_util.tree_structure(restored)
+            == jax.tree_util.tree_structure(skeleton))
+    for a, b in zip(jax.tree_util.tree_leaves(restored),
+                    jax.tree_util.tree_leaves(state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # structure mismatch is a loud error, not silent corruption
+    bad = dict(skeleton)
+    del bad["seed"]
+    bad["extra"] = np.zeros(())
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="does not match"):
+        ckpt.load_checkpoint(path, target=bad)
+
+
+def test_legacy_pickle_checkpoint_still_loads(tmp_path):
+    """Round-2 pickle checkpoints remain readable for migration."""
+    import os
+    import pickle
+
+    import jax
+
+    from lpformer_tpu.utils import checkpoint as ckpt
+
+    state = {"params": {"w": np.arange(4.0)}, "epoch": 2}
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    path = os.path.join(str(tmp_path), "old.ckpt")
+    with open(path, "wb") as f:
+        pickle.dump({"treedef": treedef,
+                     "leaves": [np.asarray(x) for x in leaves]}, f)
+    blob = ckpt.load_checkpoint(path)
+    assert int(blob["epoch"]) == 2
+    np.testing.assert_array_equal(blob["params"]["w"], np.arange(4.0))
+
+
+def test_true_resume_from_npz_checkpoint(tmp_path):
+    """--resume restores params + optimizer state + epoch from the new
+    format and continues training."""
+    import os
+
+    ds = synthetic_dataset(
+        seed=6, num_nodes=100, num_train=300, num_eval=24, feat_dim=8
+    )
+    base_args = dict(
+        lr=5e-3, batch_size=128, test_batch_size=128, eval_steps=10,
+        runs=1, metric="MRR", verbose=False, save_every=1,
+        save_as="m", checkpoint_dir=str(tmp_path), data_name="synth",
+    )
+    loggers = {
+        "Hits@20": ResultsLogger(1), "Hits@50": ResultsLogger(1),
+        "Hits@100": ResultsLogger(1), "MRR": ResultsLogger(1),
+    }
+    base = os.path.join(str(tmp_path), "synth", "m")
+    train_loop(TrainArgs(epochs=2, **base_args), _cfg(), ds, loggers, 0,
+               base)
+
+    from lpformer_tpu.utils import checkpoint as ckpt
+    saved = ckpt.load_checkpoint(base + ".latest.ckpt")
+    assert int(saved["epoch"]) == 2
+
+    resumed_args = TrainArgs(
+        epochs=4, resume=base + ".latest.ckpt", **base_args
+    )
+    train_loop(resumed_args, _cfg(), ds, loggers, 0, base)
+    after = ckpt.load_checkpoint(base + ".latest.ckpt")
+    assert int(after["epoch"]) == 4
+    assert int(after["step"]) > int(saved["step"])
