@@ -135,7 +135,8 @@ def _resolve_eval_fns(cfg, ds, sharded):
     if sharded is None:
         return (_score_fn(cfg), _propagate_fn(cfg), ds.graph, ds.graph_test,
                 _score_group_fn(cfg))
-    return sharded.score, sharded.prop, sharded.sg, sharded.sg_test, None
+    return (sharded.score, sharded.prop, sharded.sg, sharded.sg_test,
+            sharded.score_group)
 
 
 def test_standard(

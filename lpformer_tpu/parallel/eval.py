@@ -60,7 +60,7 @@ class ShardedEvalContext:
         self.prop = make_sharded_propagate(
             cfg, mesh, ds.num_nodes, self.sg.rows_per_shard
         )
-        self.score = make_sharded_score_with_X(
+        self.score, self.score_group = make_sharded_score_with_X(
             cfg, mesh, ds.num_nodes, self.sg.ctx_rows_per_shard,
             context_parallel=context_parallel,
         )

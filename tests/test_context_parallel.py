@@ -128,7 +128,7 @@ def test_cp_eval_scores_match_single_device():
     mesh = make_mesh(data=2, graph=4)
     sg = place_sharded_graph(partition_graph(ds.graph, g=4, d=2), mesh)
     prop = make_sharded_propagate(cfg, mesh, ds.num_nodes, sg.rows_per_shard)
-    score_x = make_sharded_score_with_X(
+    score_x, _ = make_sharded_score_with_X(
         cfg, mesh, ds.num_nodes, sg.ctx_rows_per_shard, context_parallel=True
     )
     got = np.asarray(score_x(params, sg, prop(params, sg), src, tgt))

@@ -223,7 +223,7 @@ def test_sharded_propagate_once_reuse():
     mesh = make_mesh(data=2, graph=4)
     sg = place_sharded_graph(partition_graph(ds.graph, g=4, d=2), mesh)
     prop = make_sharded_propagate(cfg, mesh, ds.num_nodes, sg.rows_per_shard)
-    score_x = make_sharded_score_with_X(
+    score_x, _ = make_sharded_score_with_X(
         cfg, mesh, ds.num_nodes, sg.ctx_rows_per_shard
     )
     X = prop(params, sg)
@@ -314,3 +314,38 @@ def test_mesh_multi_step_matches_sequential():
                      jax.tree_util.tree_leaves(st2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-4, atol=1e-6)
+
+
+def test_mesh_grouped_eval_matches_per_batch():
+    """score_group (lax.scan over the shard_map scorer) must equal the
+    per-batch sharded program across group boundaries and the padded
+    tail — the mesh analog of
+    test_eval_flows.test_grouped_eval_scoring_matches_per_batch."""
+    from lpformer_tpu.evalx import harness
+    from lpformer_tpu.parallel.eval import ShardedEvalContext
+
+    ds, cfg, params, *_ = _setup()
+    mesh = make_mesh(data=2, graph=4)
+    ctx = ShardedEvalContext(cfg, mesh, ds)
+    X = ctx.prop(params, ctx.sg)
+
+    rng = np.random.default_rng(5)
+    edges = np.stack(
+        [rng.integers(0, ds.num_nodes, 300),
+         rng.integers(0, ds.num_nodes, 300)], axis=1
+    )
+    kw = dict(batch_size=16)  # 300 edges -> 2 groups of 8 + tail
+    base = harness.score_edges(
+        ctx.score, params, ctx.sg, X, edges, group_fn=None, **kw)
+    grouped = harness.score_edges(
+        ctx.score, params, ctx.sg, X, edges,
+        group_fn=ctx.score_group, **kw)
+    np.testing.assert_allclose(grouped, base, rtol=1e-6, atol=1e-7)
+
+    # and the harness auto-wires the grouped scorer on the mesh path
+    got = harness.test_standard(
+        params, cfg, ds, batch_size=16, with_mrr=True, sharded=ctx)
+    want = harness.test_standard(
+        params, cfg, ds, batch_size=16, with_mrr=True)
+    for a, b in zip(got["MRR"], want["MRR"]):
+        assert abs(a - b) < 2e-3, (got["MRR"], want["MRR"])
