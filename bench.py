@@ -105,6 +105,14 @@ def main():
                          "launch per step (the round-1 measurement mode)")
     ap.add_argument("--kernels", action="store_true",
                     help="per-kernel micro-benchmarks + roofline, then exit")
+    ap.add_argument("--gather", action="store_true",
+                    help="pure-gather speed-of-light microbench at the "
+                         "step's exact shapes (+ dedup viability stats), "
+                         "then exit")
+    ap.add_argument("--ppr-cache", type=str, default=".synth_cache",
+                    help="disk cache dir for the synthetic dataset's PPR "
+                         "push ('' disables); big presets take minutes "
+                         "to rebuild otherwise")
     ap.add_argument("--no-ell", action="store_true",
                     help="disable the hybrid ELL SpMM (A/B: COO "
                          "gather+segment_sum propagation instead)")
@@ -165,6 +173,7 @@ def main():
         eps=5e-4 if not args.smoke else 1e-3,
         adj_cap=96,
         ppr_cap=256,
+        ppr_cache_dir=None if args.smoke else (args.ppr_cache or None),
     )
     if args.no_ell and ds.graph.ell is not None:
         import dataclasses
@@ -187,6 +196,9 @@ def main():
 
     if args.kernels:
         _bench_kernels(cfg, ds, args, jax, jnp)
+        return
+    if args.gather:
+        _bench_gather(cfg, ds, args, jax, jnp)
         return
     params = init_lpformer(jax.random.PRNGKey(0), cfg, in_dim=args.feat)
     # keep an undonated copy for the naive-baseline variant
@@ -324,6 +336,189 @@ def _time_chained(jax, jnp, fn, ops, n_warmup=2, n_iter=10):
         c = jfn(c, ops)
     float(c)
     return (time.perf_counter() - t0) / n_iter
+
+
+def _bench_gather(cfg, ds, args, jax, jnp):
+    """Pure-gather speed-of-light microbench at the step's exact shapes
+    (VERDICT r2 #2a) plus the dedup-viability inputs (#2b): hub-node
+    duplication across a real batch's context tables, gather row rate vs
+    table size, sorted-vs-random id order, and the id-sort cost.
+
+    The step's dominant irregular op is ``table[ids]`` row gathers:
+      * context LinkRows fetch — [N, A]/[N, P] padded rows at [2B]
+        endpoint ids (graph/containers.py:gather_link_rows)
+      * key-table gather — [N+1, dim] at the [B, C] context ids
+        (models/link_transformer.py:_project_keys / the Pallas kernel's
+        xj_node input)
+    Emits one JSON line per probe and a gather_details.json artifact; if
+    bench_details.json holds a step time for the same preset, reports
+    the step as a fraction of the forward-gather ceiling.
+    """
+    import numpy as np
+
+    from lpformer_tpu.ops.context import extract_context, gather_link_rows
+
+    n, dim, b = ds.num_nodes, args.dim, args.batch
+    graph = ds.graph
+    kd = cfg.mm_dtype or jnp.float32
+    bytes_per_el = 2 if kd == jnp.bfloat16 else 4
+
+    # ---- a real batch's context ids (duplication is a data property) --
+    tp = np.asarray(ds.train_pos)
+    reps = -(-b // len(tp))
+    tp2 = np.tile(tp, (reps, 1))[:b]
+    src = jnp.asarray(tp2[:, 0])
+    tgt = jnp.asarray(tp2[:, 1])
+    # extraction runs on the host CPU backend: only the ids matter here,
+    # and a new TPU program through the tunnel costs minutes of compile
+    try:
+        cpu0 = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu0 = jax.devices()[0]
+    with jax.default_device(cpu0):
+        ctx = jax.jit(
+            lambda a, p, s, t: extract_context(a, p, s, t, cfg.context)
+        )(
+            jax.device_put(graph.adj_rows, cpu0),
+            jax.device_put(graph.ppr_rows, cpu0),
+            jax.device_put(src, cpu0), jax.device_put(tgt, cpu0),
+        )
+    ids = np.asarray(ctx.ids).reshape(-1)          # pad id = n
+    valid_mask = np.asarray(ctx.valid).reshape(-1)
+    real = ids[valid_mask]
+    uniq = np.unique(real)
+    stats = {
+        "rows_per_half_batch": int(ids.size),
+        "valid_rows": int(real.size),
+        "unique_rows": int(uniq.size),
+        "dup_factor_valid": round(real.size / max(uniq.size, 1), 2),
+        "dup_factor_padded": round(
+            ids.size / max(np.unique(ids).size, 1), 2),
+    }
+    print(json.dumps({"gather_stats": stats}))
+
+    def dep(c):
+        return jnp.minimum(c.astype(jnp.int32), 0)
+
+    results = {}
+
+    def run(name, fn, ops, rows, row_bytes, n_iter=10):
+        dt = _time_chained(jax, jnp, fn, ops, n_iter=n_iter)
+        rate = rows / dt
+        gbs = rows * row_bytes / dt / 1e9
+        results[name] = dict(
+            ms=round(dt * 1e3, 3), mrows_per_s=round(rate / 1e6, 1),
+            gb_per_s=round(gbs, 1), rows=int(rows), row_bytes=int(row_bytes),
+        )
+        print(json.dumps({name: results[name]}))
+
+    table = jax.random.normal(
+        jax.random.PRNGKey(0), (n + 1, dim)).astype(kd)
+
+    def key_gather(c, ops):
+        t, i = ops
+        return jnp.tanh(
+            jnp.sum(t[i + dep(c)].astype(jnp.float32)) * 1e-9)
+
+    rows = ids.size
+    rb = dim * bytes_per_el
+    run("key_gather_batch_ids", key_gather, (table, jnp.asarray(ids)),
+        rows, rb)
+    run("key_gather_sorted_ids", key_gather,
+        (table, jnp.asarray(np.sort(ids))), rows, rb)
+    rr = np.random.default_rng(0)
+    run("key_gather_uniform_ids", key_gather,
+        (table, jnp.asarray(rr.integers(0, n, ids.size, dtype=np.int32))),
+        rows, rb)
+    # row rate vs table size: can a dedup'd two-stage gather (unique rows
+    # into a small table, then re-gather) beat the direct form? Only if
+    # small-table gathers are materially faster per row.
+    for u in (16384, 131072):
+        if u < n:
+            small = table[: u + 1]
+            run(f"key_gather_table_{u}", key_gather,
+                (small, jnp.asarray((ids % u).astype(np.int32))), rows, rb)
+
+    # the dedup overhead side: sorting the id stream
+    def sort_ids(c, ops):
+        (i,) = ops
+        return jnp.tanh(jnp.sum(jnp.sort(i + dep(c))[:8]).astype(
+            jnp.float32) * 1e-9)
+
+    run("sort_ids", sort_ids, (jnp.asarray(ids),), rows, 4)
+
+    # ---- context LinkRows fetch at exact shapes (pos half-batch) ------
+    idx2b = jnp.concatenate([src, tgt])
+
+    def rows_fetch(c, ops):
+        adj_rows, ppr_rows, i = ops
+        lr = gather_link_rows(adj_rows, ppr_rows, i + dep(c))
+        acc = jnp.sum(lr.ppr_vals) + jnp.sum(lr.adj_nbrs[:, 0])
+        return jnp.tanh(acc.astype(jnp.float32) * 1e-9)
+
+    a_cap, p_cap = graph.adj_rows.cap, graph.ppr_rows.cap
+    lr_row_bytes = a_cap * (4 + 4 + 4) + p_cap * (4 + 4 + 1)
+    run("linkrows_fetch_2B", rows_fetch,
+        (graph.adj_rows, graph.ppr_rows, idx2b), 2 * b, lr_row_bytes)
+
+    # ---- the step's full forward gather set in ONE program ------------
+    neg = jnp.asarray(rr.integers(0, n, (2, b), dtype=np.int32))
+    ids2d = jnp.asarray(np.asarray(ctx.ids))
+
+    def step_gathers(c, ops):
+        t, adj_rows, ppr_rows, i2, sp, sn, i2d = ops
+        acc = jnp.zeros((), jnp.float32)
+        for endpoints in (i2, jnp.concatenate([sp, sn])):
+            lr = gather_link_rows(adj_rows, ppr_rows, endpoints + dep(c))
+            acc += jnp.sum(lr.ppr_vals).astype(jnp.float32)
+        for idset in (i2d, (i2d + 1) % (n + 1)):  # pos + neg context ids
+            acc += jnp.sum(t[idset].astype(jnp.float32)) * 1e-9
+        return jnp.tanh(acc * 1e-9)
+
+    fwd_rows = 2 * (2 * b) + 2 * ids.size
+    run("step_forward_gathers", step_gathers,
+        (table, graph.adj_rows, graph.ppr_rows, idx2b, neg[0], neg[1],
+         ids2d),
+        fwd_rows, rb, n_iter=6)
+
+    details = {
+        "preset": args.preset or "default",
+        "batch": b, "dim": dim, "nodes": n,
+        "context_budget": int(cfg.context.total_budget),
+        "matmul_dtype": cfg.matmul_dtype,
+        "stats": stats,
+        "probes": results,
+    }
+    # step-vs-ceiling fraction when a matching step measurement exists
+    # (not meaningful on --smoke: the committed step time is a TPU run)
+    try:
+        if args.smoke:
+            raise OSError
+        with open("bench_details.json") as f:
+            bd = json.load(f)
+        # "default" (no --preset) and "collab-like" are the same shape
+        same = {bd.get("preset"), details["preset"]}
+        if bd.get("preset") == details["preset"] or same <= {
+                "default", "collab-like"}:
+            step_ms = float(bd["step_ms"])
+            fwd_ms = results["step_forward_gathers"]["ms"]
+            details["step_ms"] = step_ms
+            details["fwd_gather_ceiling_ms"] = fwd_ms
+            details["step_over_fwd_gather_ceiling"] = round(
+                step_ms / fwd_ms, 2)
+            print(json.dumps({
+                "step_over_fwd_gather_ceiling":
+                    details["step_over_fwd_gather_ceiling"]}))
+    except (OSError, KeyError, ValueError):
+        pass
+    out_dir = tempfile.gettempdir() if args.smoke else "."
+    try:
+        with open(os.path.join(
+                out_dir, f"gather_details_{details['preset']}.json"),
+                "w") as f:
+            json.dump(details, f, indent=1)
+    except OSError:
+        pass
 
 
 def _bench_kernels(cfg, ds, args, jax, jnp):

@@ -48,11 +48,18 @@ def synthetic_dataset(
     adj_cap: Optional[int] = None,
     ppr_cap: Optional[int] = None,
     metric: str = "MRR",
+    ppr_cache_dir: Optional[str] = None,
+    power: float = 0.8,
 ) -> LinkPredDataset:
+    """``power`` shapes the endpoint degree distribution (preferential-
+    attachment weight ~ rank^-power); >1 gives an ogbl-ppa-like heavy
+    tail (hub nodes with huge context sets — the budget-overflow stress
+    case, reference's unbounded selection:
+    src/models/link_transformer.py:434-481)."""
     rng = np.random.default_rng(seed)
-    train_pos = random_edges(rng, num_nodes, num_train)
-    valid_pos = random_edges(rng, num_nodes, num_eval)
-    test_pos = random_edges(rng, num_nodes, num_eval)
+    train_pos = random_edges(rng, num_nodes, num_train, power)
+    valid_pos = random_edges(rng, num_nodes, num_eval, power)
+    test_pos = random_edges(rng, num_nodes, num_eval, power)
     if heart:
         valid_neg = random_edges(rng, num_nodes, num_eval * heart_negs)
         valid_neg = valid_neg.reshape(num_eval, heart_negs, 2)
@@ -68,7 +75,25 @@ def synthetic_dataset(
     src, dst = train_pos[:, 0], train_pos[:, 1]
     sym_src = np.concatenate([src, dst])
     sym_dst = np.concatenate([dst, src])
-    ppr_csr = ppr_mod.ppr_push_csr(sym_src, sym_dst, num_nodes, alpha, eps)
+    if ppr_cache_dir is not None:
+        # benches rebuild the same big synthetic graphs repeatedly; the
+        # push on a 1M-node graph is minutes of host time. The cache key
+        # covers everything the PPR depends on (the edge list is a pure
+        # function of seed/num_nodes/num_train; alpha/eps are in the
+        # cached filename).
+        import os as _os
+
+        key = f"synthetic-s{seed}-n{num_nodes}-e{num_train}"
+        if power != 0.8:
+            key += f"-p{power}"
+        ppr_csr = ppr_mod.get_ppr(
+            key, sym_src, sym_dst, num_nodes, alpha, eps,
+            cache_dir=_os.path.join(ppr_cache_dir, key),
+        )
+    else:
+        ppr_csr = ppr_mod.ppr_push_csr(
+            sym_src, sym_dst, num_nodes, alpha, eps
+        )
 
     from lpformer_tpu.ops import masking as _mk
     uniq, _ = _mk.train_edge_info(src, dst, num_nodes)

@@ -62,6 +62,45 @@ class TrainArgs:
     context_parallel: bool = False  # shard the context axis over 'graph'
     steps_per_call: int = 1        # optimizer steps fused into one jitted
                                    # device loop (amortizes dispatch)
+    audit_budgets: bool = True     # one-shot start-of-training overflow
+                                   # audit; warns when budgets silently
+                                   # truncate context sets (the SURVEY §7
+                                   # hard-part #1 failure mode)
+
+
+def overflow_audit(ds, cfg, sample: int = 2048):
+    """One-shot budget-overflow audit on a sampled link batch, run on the
+    host CPU backend (cheap; never pays a tunnel compile). Returns
+    (link_overflow_rate, entry_overflow_rate): the fraction of links
+    whose context sets were truncated by the static budgets, and the
+    fraction of context entries dropped. ``ContextTables.overflow``
+    (ops/context.py) supplies the per-link counts; the reference has no
+    budgets, so nonzero overflow is a framework-only approximation that
+    must be surfaced, not silent (SURVEY §7 hard-part #1)."""
+    from lpformer_tpu.ops.context import extract_context
+
+    tp = np.asarray(ds.train_pos)
+    take = min(sample, len(tp))
+    idx = np.random.default_rng(0).choice(len(tp), take, replace=False)
+    try:
+        cpu0 = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu0 = jax.devices()[0]
+    with jax.default_device(cpu0):
+        ctx = jax.jit(
+            lambda a, p, s, t: extract_context(a, p, s, t, cfg.context)
+        )(
+            jax.device_put(ds.graph.adj_rows, cpu0),
+            jax.device_put(ds.graph.ppr_rows, cpu0),
+            jax.device_put(jnp.asarray(tp[idx, 0], jnp.int32), cpu0),
+            jax.device_put(jnp.asarray(tp[idx, 1], jnp.int32), cpu0),
+        )
+    over = np.asarray(ctx.overflow)
+    kept = int(np.asarray(ctx.valid).sum())
+    dropped = int(over.sum())
+    link_rate = float((over > 0).mean())
+    entry_rate = dropped / max(kept + dropped, 1)
+    return link_rate, entry_rate
 
 
 def _iter_batches(rng: np.random.Generator, n: int, batch_size: int):
@@ -144,6 +183,24 @@ def train_loop(
     the logger/run index; ``rng_seed`` (default: same) seeds the RNGs."""
     if rng_seed is None:
         rng_seed = seed
+    if args.audit_budgets and seed == 0:
+        link_rate, entry_rate = overflow_audit(ds, cfg)
+        if args.verbose or link_rate > 0.005:
+            print(
+                f"[budgets] context overflow: {link_rate:.2%} of links "
+                f"truncated, {entry_rate:.2%} of entries dropped "
+                f"(budgets cn={cfg.budget_cn} onehop={cfg.budget_onehop} "
+                f"non1hop={cfg.budget_non1hop})",
+                flush=True,
+            )
+        if link_rate > 0.005:
+            print(
+                "[budgets] WARNING: >0.5% of links exceed the static "
+                "context budgets — compaction keeps the top-by-PPR "
+                "entries, but metrics may degrade. Raise the budgets or "
+                "re-run scripts/audit_budgets.py for this dataset.",
+                flush=True,
+            )
     key = jax.random.PRNGKey(rng_seed)
     params = lt.init_lpformer(key, cfg, in_dim=int(ds.graph.x.shape[1]))
     steps_per_epoch = max(
