@@ -116,6 +116,13 @@ def main():
     ap.add_argument("--no-ell", action="store_true",
                     help="disable the hybrid ELL SpMM (A/B: COO "
                          "gather+segment_sum propagation instead)")
+    ap.add_argument("--no-blocked", action="store_true",
+                    help="disable the tiled BlockedCOO SpMM on big "
+                         "graphs (A/B: bucketed-ELL path instead)")
+    ap.add_argument("--mask-input", action="store_true",
+                    help="bench the --mask-input step variant (in-jit "
+                         "renormalization + double propagation — the "
+                         "pubmed replication path)")
     ap.add_argument("--bf16", action="store_true", default=True,
                     help="matmul_dtype=bfloat16: bf16 MXU matmuls, bf16 "
                          "key tables/gathers, f32 softmax+accumulation "
@@ -175,9 +182,20 @@ def main():
         ppr_cap=256,
         ppr_cache_dir=None if args.smoke else (args.ppr_cache or None),
     )
-    if args.no_ell and ds.graph.ell is not None:
-        import dataclasses
+    import dataclasses
 
+    if args.no_blocked and ds.graph.blk is not None:
+        # rebuild the ELL so the A/B baseline is the round-2 production
+        # path, not bare COO
+        from lpformer_tpu.graph.containers import BucketedELL
+        import numpy as _n
+
+        ell = BucketedELL.from_sorted_coo(
+            _n.asarray(ds.graph.edge_src), _n.asarray(ds.graph.edge_dst),
+            ds.num_nodes, w_norm=_n.asarray(ds.graph.w_norm),
+        )
+        ds.graph = dataclasses.replace(ds.graph, blk=None, ell=ell)
+    if args.no_ell and ds.graph.ell is not None:
         ds.graph = dataclasses.replace(ds.graph, ell=None)
     print(f"[bench] dataset built in {time.time()-t0:.1f}s "
           f"(adj cap {ds.graph.adj_rows.cap}, ppr cap {ds.graph.ppr_rows.cap}, "
@@ -207,7 +225,8 @@ def main():
     state = TrainState(params, opt.init(params), jnp.asarray(0, jnp.int32))
     spc = max(1, args.steps_per_call)
     step = make_train_step(
-        cfg, opt, grad_accum=args.grad_accum, steps_per_call=spc
+        cfg, opt, grad_accum=args.grad_accum, steps_per_call=spc,
+        mask_input=args.mask_input,
     )
 
     import numpy as np
@@ -285,6 +304,8 @@ def main():
         "matmul_dtype": cfg.matmul_dtype,
         "grad_accum": args.grad_accum,
         "steps_per_call": spc,
+        "mask_input": args.mask_input,
+        "blocked_spmm": ds.graph.blk is not None,
         "step_ms": round(dt * 1e3, 2),
         "links_per_s": round(links_per_s, 1),
         "vs_naive_port": round(vs_baseline, 3),
@@ -430,6 +451,16 @@ def _bench_gather(cfg, ds, args, jax, jnp):
     run("key_gather_uniform_ids", key_gather,
         (table, jnp.asarray(rr.integers(0, n, ids.size, dtype=np.int32))),
         rows, rb)
+    # pad entries (97%+ of the stream on sparse-context presets) all hit
+    # row N and serialize the gather engine on one row; spreading them
+    # over a cycling iota (their values are masked downstream) should
+    # collapse toward sequential-read speed
+    for span in (512, 65536, n):
+        spread = np.where(
+            valid_mask, ids, np.arange(ids.size, dtype=np.int64) % span
+        ).astype(np.int32)
+        run(f"key_gather_spread_pad_ids_{span}", key_gather,
+            (table, jnp.asarray(spread)), rows, rb)
     # row rate vs table size: can a dedup'd two-stage gather (unique rows
     # into a small table, then re-gather) beat the direct form? Only if
     # small-table gathers are materially faster per row.

@@ -65,7 +65,8 @@ def build_graph_bundle(
     ppr_cap: Optional[int] = None,
     symmetrize: bool = True,
     mask_uniq_keys: Optional[np.ndarray] = None,
-    build_ell: bool = True,
+    build_ell: Optional[bool] = None,
+    build_blocked: Optional[bool] = None,
 ) -> GraphBundle:
     """Assemble the static device-side graph state.
 
@@ -123,6 +124,22 @@ def build_graph_bundle(
     dinv = 1.0 / np.sqrt(deg_w)
     w_norm = (dinv[ps_] * pw_ * dinv[pd_]).astype(np.float32)
     w_diag = (dinv * dinv).astype(np.float32)
+    # (dst_block x src_block)-tiled layout: auto-on for big node tables,
+    # where the gather row rate from the full [N, dim] table degrades
+    # ~6x (bench --gather; those gathers dominate the citation2-like
+    # step). The model prefers blk > ell > COO; ELL defaults off when
+    # blk is built (dead weight in HBM otherwise).
+    if build_blocked is None:
+        build_blocked = num_nodes >= 262_144
+    from lpformer_tpu.graph.containers import BlockedCOO
+
+    blk = (
+        BlockedCOO.from_coo(ps_, pd_, num_nodes, w_norm=w_norm)
+        if build_blocked
+        else None
+    )
+    if build_ell is None:
+        build_ell = blk is None
     # degree-bucketed ELL: scatter-free SpMM with ~zero slot waste and no
     # overflow path (host build keeps everything numpy until the end)
     ell = (
@@ -131,6 +148,7 @@ def build_graph_bundle(
         else None
     )
     return GraphBundle(
+        blk=blk,
         x=jnp.asarray(x, jnp.float32),
         edge_src=jnp.asarray(ps_, jnp.int32),
         edge_dst=jnp.asarray(pd_, jnp.int32),

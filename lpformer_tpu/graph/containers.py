@@ -379,6 +379,102 @@ class BucketedELL:
 
 @partial(
     jax.tree_util.register_dataclass,
+    data_fields=["sl", "dl", "tw", "te"],
+    meta_fields=["block", "kb", "num_nodes", "num_edges"],
+)
+@dataclasses.dataclass(frozen=True)
+class BlockedCOO:
+    """(dst_block x src_block)-tiled COO: the SpMM operand for LARGE node
+    tables.
+
+    bench.py --gather measured TPU row gathers from a [1M, 64] table at
+    54 Mrows/s vs 337 Mrows/s from a [131k, 64] table — the gather
+    engine's row rate degrades ~6x with the addressed footprint. Tiling
+    the edge list so every gather addresses one <=16 MB table slice
+    recovers the fast rate; the dst-block split keeps each tile's
+    segment_sum output small and dst-sorted. The (3 GCN layers x
+    fwd+bwd) neighbor gathers are the dominant cost of the
+    citation2-like step per the op profile (scripts/profile_step.py).
+
+    Per-tile arrays in tile order ``t = jj * kb + ii`` (jj = dst block,
+    ii = src block), dst-sorted within each tile, padded to a multiple
+    of 1024 (pad: weight 0, dst_local = block -> dummy segment row,
+    src_local = 0).
+    """
+
+    sl: tuple            # per tile: [E_t] int32 src - ii*block
+    dl: tuple            # per tile: [E_t] int32 dst - jj*block (pad: block)
+    tw: Optional[tuple]  # per tile: [E_t] f32 static normalized weights
+    te: Optional[tuple]  # per tile: [E_t] int32 original edge index (pad E)
+                         # for dynamic re-weighting (--mask-input)
+    block: int
+    kb: int
+    num_nodes: int
+    num_edges: int
+
+    @staticmethod
+    def from_coo(
+        edge_src: np.ndarray,
+        edge_dst: np.ndarray,
+        num_nodes: int,
+        w_norm: Optional[np.ndarray] = None,
+        block: int = 131072,
+        pad_to: int = 1024,
+        with_edge_ids: bool = True,
+    ) -> Optional["BlockedCOO"]:
+        e = len(edge_dst)
+        if e == 0 or num_nodes == 0:
+            return None
+        src = np.asarray(edge_src, np.int64)
+        dst = np.asarray(edge_dst, np.int64)
+        kb = -(-num_nodes // block)
+        jb = dst // block
+        ib = src // block
+        order = np.lexsort((dst, ib, jb))
+        s, d = src[order], dst[order]
+        key = jb[order] * kb + ib[order]
+        bounds = np.searchsorted(key, np.arange(kb * kb + 1))
+        w = None if w_norm is None else np.asarray(w_norm, np.float32)[order]
+        sl, dl, tw, te = [], [], [], []
+        for t in range(kb * kb):
+            lo, hi = int(bounds[t]), int(bounds[t + 1])
+            ii, jj = t % kb, t // kb
+            s_t = (s[lo:hi] - ii * block).astype(np.int32)
+            d_t = (d[lo:hi] - jj * block).astype(np.int32)
+            w_t = None if w is None else w[lo:hi]
+            e_t = order[lo:hi].astype(np.int32)
+            m = hi - lo
+            p = (-m) % pad_to if m else pad_to
+            if p:
+                s_t = np.concatenate([s_t, np.zeros(p, np.int32)])
+                d_t = np.concatenate([d_t, np.full(p, block, np.int32)])
+                if w_t is not None:
+                    w_t = np.concatenate([w_t, np.zeros(p, np.float32)])
+                e_t = np.concatenate([e_t, np.full(p, e, np.int32)])
+            sl.append(jnp.asarray(s_t))
+            dl.append(jnp.asarray(d_t))
+            if w_t is not None:
+                tw.append(jnp.asarray(w_t))
+            if with_edge_ids:
+                te.append(jnp.asarray(e_t))
+        return BlockedCOO(
+            sl=tuple(sl),
+            dl=tuple(dl),
+            tw=tuple(tw) if w is not None else None,
+            te=tuple(te) if with_edge_ids else None,
+            block=block,
+            kb=kb,
+            num_nodes=num_nodes,
+            num_edges=e,
+        )
+
+    @property
+    def slot_total(self) -> int:
+        return sum(int(a.shape[0]) for a in self.sl)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
     data_fields=[
         "x",
         "edge_src",
@@ -389,6 +485,7 @@ class BucketedELL:
         "ppr_rows",
         "degree",
         "ell",
+        "blk",
         "w_norm",
         "w_diag",
     ],
@@ -419,6 +516,10 @@ class GraphBundle:
     # hybrid ELL layout of (edge_src, edge_dst) for the scatter-free
     # SpMM; None -> the COO gather+segment_sum path
     ell: Optional[ELLAdjacency] = None
+    # (dst_block x src_block)-tiled COO for LARGE node tables (the
+    # gather row rate from big tables degrades ~6x — see BlockedCOO);
+    # preferred over ell/COO when present
+    blk: Optional[BlockedCOO] = None
     # host-precomputed static GCN normalization of edge_w (unmasked
     # training + eval; ~23 ms/step of in-jit recompute on v5e otherwise).
     # Per-batch masked weights (--mask-input) recompute in-jit.

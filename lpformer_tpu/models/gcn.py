@@ -67,6 +67,7 @@ def gcn_apply(
     mm_dtype=None,
     ell=None,
     norm=None,
+    blk=None,
 ) -> jnp.ndarray:
     # Normalization depends only on the (possibly batch-masked) weights;
     # compute once and share across layers (the reference's gcn_cache
@@ -87,9 +88,18 @@ def gcn_apply(
         spmm.spmm_bell if isinstance(ell, BucketedELL) else spmm.spmm_ell
     )
     lns = params.get("lns")
+    # static tile weights only valid for the unmasked norm
+    blk_static = norm is not None and blk is not None and blk.tw is not None
     for i, conv in enumerate(params["convs"]):
         xi = nn.matmul(x, conv["w"], mm_dtype)
-        if ell is not None:
+        if blk is not None:
+            # tiled small-slice gathers: the fast path for big node
+            # tables (see ops/spmm.py:spmm_blocked)
+            xi = spmm.spmm_blocked(
+                blk, None if blk_static else w_norm, xi, diag=diag,
+                gather_dtype=mm_dtype,
+            )
+        elif ell is not None:
             xi = spmm_fn(
                 ell, None if ell_static else w_norm, xi, diag=diag,
                 gather_dtype=mm_dtype,

@@ -136,6 +136,7 @@ def propagate(
         mm_dtype=cfg.mm_dtype,
         ell=getattr(graph, "ell", None),
         norm=norm,
+        blk=getattr(graph, "blk", None),
     )
     return nn.layer_norm_apply(params["gnn_norm"], x)
 
@@ -201,6 +202,24 @@ def _pos_encodings(
     return jnp.concatenate(blocks, axis=1)
 
 
+def _gather_ids(ctx: ContextTables, num_real_rows: int) -> jnp.ndarray:
+    """Context ids for the key-table gather, with PAD entries spread
+    over a cycling iota instead of all pointing at the single pad row.
+
+    Sparse-context presets leave 70-98% of the static budget columns
+    invalid; those gathers all hitting ONE row serialize the TPU gather
+    engine (measured 95.8 -> 62.8 ms for the [32768, 160] citation2-like
+    key gather, bench --gather key_gather_spread_pad_ids). Invalid
+    entries' values are exactly masked out downstream (alpha = 0 in both
+    attention paths, dxj = 0 in backward), so any finite real row is
+    semantically equivalent to the zero pad row."""
+    b, c = ctx.ids.shape
+    spread = (
+        jax.lax.iota(jnp.int32, b * c) % num_real_rows
+    ).reshape(b, c)
+    return jnp.where(ctx.valid, ctx.ids, spread)
+
+
 def _project_keys(
     lp: Dict, params: Dict, cfg: LPFormerConfig,
     X_node: jnp.ndarray, ctx: ContextTables,
@@ -220,12 +239,14 @@ def _project_keys(
     # downstream via dtype promotion.
     kd = cfg.mm_dtype or X_proj.dtype
     X_proj = X_proj.astype(kd)
-    # pad row N = zeros so padded ids contribute only pe + bias (as the
-    # explicit composition did for its zero-padded node features)
+    # pad row N = zeros kept for shape compatibility; the actual gather
+    # spreads pad ids over real rows (values masked downstream) to avoid
+    # single-row gather serialization (_gather_ids)
+    n_real = X_proj.shape[0]
     X_proj = jnp.concatenate(
         [X_proj, jnp.zeros((1, X_proj.shape[-1]), X_proj.dtype)], axis=0
     )
-    xj = gather_rows(X_proj, ctx.ids)                     # [B, C, H*O]
+    xj = gather_rows(X_proj, _gather_ids(ctx, n_real))    # [B, C, H*O]
     xj = xj + _pos_encodings(params, cfg, ctx, W_fold=W[d:], out_dtype=kd)
     if "b" in lp["lin_r"]:
         xj = xj + lp["lin_r"]["b"].astype(kd)
@@ -394,11 +415,16 @@ def calc_pairwise(
                 W = lp["lin_r"]["w"]
                 X_proj = nn.matmul(X_node, W[:d], cfg.mm_dtype)
                 kd = cfg.mm_dtype or X_proj.dtype
+                n_real = X_proj.shape[0]
                 X_proj = jnp.concatenate(
                     [X_proj.astype(kd), jnp.zeros((1, W.shape[1]), kd)],
                     axis=0,
                 )
-                xj_node = gather_rows(X_proj, ctx.ids)         # [B, C, H*O]
+                # pad ids spread over real rows (_gather_ids): masked in
+                # the kernel, avoids single-row gather serialization
+                xj_node = gather_rows(
+                    X_proj, _gather_ids(ctx, n_real)
+                )                                              # [B, C, H*O]
                 pairwise_feats_, att_weights = _att_layer_apply_pallas(
                     lp, params, cfg, feats_in, xj_node, ctx,
                     c_tile, tile_classes, rng=r, train=train,

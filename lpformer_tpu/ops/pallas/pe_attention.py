@@ -93,48 +93,57 @@ def _fwd_kernel(keys_ref, ps_ref, pt_ref, valid_ref, q_ref,
         l_ref[:] = jnp.zeros((bb, 128), jnp.float32)
         acc_ref[:] = jnp.zeros((bb, ho), jnp.float32)
 
-    # PE hidden dim dh (= model dim) is distinct from the output dim ho
-    # (= heads*out; 2*dim for layer 0 of a 2-layer stack)
-    dh = w1_ref.shape[-1]
-    w1 = w1_ref[:].reshape(2, dh)
-    w1a = w1[0:1].reshape(1, 1, dh)
-    w1b = w1[1:2].reshape(1, 1, dh)
-    b1 = b1_ref[:].reshape(dh)
-    g = g_ref[:].reshape(dh)
-    b = b_ref[:].reshape(dh)
-    w2 = w2_ref[:].reshape(dh, ho)
-    kdt = w2.dtype
-    # scalar tables ride tile-major as [n_ct, B, ct] so the block's last
-    # dim equals the array's (Mosaic lane-divisibility constraint)
-    ps3 = ps_ref[:].reshape(bb, ct)[:, :, None]
-    pt3 = pt_ref[:].reshape(bb, ct)[:, :, None]
-
-    pe_a, _, _, _ = _pe_dir(ps3, pt3, w1a, w1b, b1, g, b, w2, kdt)
-    pe_b, _, _, _ = _pe_dir(pt3, ps3, w1a, w1b, b1, g, b, w2, kdt)
-
-    keys2 = keys_ref[:].reshape(bb * ct, ho).astype(jnp.float32)
-    xj = keys2 + pe_a + pe_b + cbias_ref[:].reshape(1, ho)    # [bb*ct, O]
-
-    q = q_ref[:]                                              # [bb, O]
-    qb = jnp.repeat(q, ct, axis=0)                            # [bb*ct, O]
-    z = xj * qb
-    z = jnp.where(z >= 0, z, 0.2 * z)
-    zatt = z * att_ref[:].reshape(1, ho)
-    logits = jnp.sum(zatt.reshape(bb, ct, ho), axis=-1)       # [bb, ct]
     v = valid_ref[:].reshape(bb, ct)
-    logits = jnp.where(v > 0, logits, _NEG)
 
-    m0 = m_ref[:][:, :1]
-    m1 = jnp.maximum(m0, jnp.max(logits, axis=1, keepdims=True))
-    corr = jnp.exp(m0 - m1)
-    e = jnp.exp(logits - m1) * v                              # [bb, ct]
-    l0 = l_ref[:][:, :1]
-    l_ref[:] = jnp.broadcast_to(
-        l0 * corr + jnp.sum(e, axis=1, keepdims=True), (bb, 128)
-    )
-    wsum = jnp.sum(e[:, :, None] * xj.reshape(bb, ct, ho), axis=1)
-    acc_ref[:] = acc_ref[:] * corr + wsum
-    m_ref[:] = jnp.broadcast_to(m1, (bb, 128))
+    # Tile gating: context tables are front-compacted per class
+    # (ops/context.py:_compact), so at real occupancies (2-30% of the
+    # static budgets) most tiles carry NO valid entry. A dead tile is a
+    # bit-exact no-op of the online softmax (m1 = max(m0, NEG) = m0,
+    # corr = 1, e = 0), so skipping its PE/score compute changes nothing
+    # — the tile's DMA still streams, but the kernel is compute-bound.
+    @pl.when(jnp.any(v > 0))
+    def _():
+        # PE hidden dim dh (= model dim) is distinct from the output dim
+        # ho (= heads*out; 2*dim for layer 0 of a 2-layer stack)
+        dh = w1_ref.shape[-1]
+        w1 = w1_ref[:].reshape(2, dh)
+        w1a = w1[0:1].reshape(1, 1, dh)
+        w1b = w1[1:2].reshape(1, 1, dh)
+        b1 = b1_ref[:].reshape(dh)
+        g = g_ref[:].reshape(dh)
+        b = b_ref[:].reshape(dh)
+        w2 = w2_ref[:].reshape(dh, ho)
+        kdt = w2.dtype
+        # scalar tables ride tile-major as [n_ct, B, ct] so the block's
+        # last dim equals the array's (Mosaic lane-divisibility)
+        ps3 = ps_ref[:].reshape(bb, ct)[:, :, None]
+        pt3 = pt_ref[:].reshape(bb, ct)[:, :, None]
+
+        pe_a, _, _, _ = _pe_dir(ps3, pt3, w1a, w1b, b1, g, b, w2, kdt)
+        pe_b, _, _, _ = _pe_dir(pt3, ps3, w1a, w1b, b1, g, b, w2, kdt)
+
+        keys2 = keys_ref[:].reshape(bb * ct, ho).astype(jnp.float32)
+        xj = keys2 + pe_a + pe_b + cbias_ref[:].reshape(1, ho)  # [bb*ct, O]
+
+        q = q_ref[:]                                            # [bb, O]
+        qb = jnp.repeat(q, ct, axis=0)                          # [bb*ct, O]
+        z = xj * qb
+        z = jnp.where(z >= 0, z, 0.2 * z)
+        zatt = z * att_ref[:].reshape(1, ho)
+        logits = jnp.sum(zatt.reshape(bb, ct, ho), axis=-1)     # [bb, ct]
+        logits = jnp.where(v > 0, logits, _NEG)
+
+        m0 = m_ref[:][:, :1]
+        m1 = jnp.maximum(m0, jnp.max(logits, axis=1, keepdims=True))
+        corr = jnp.exp(m0 - m1)
+        e = jnp.exp(logits - m1) * v                            # [bb, ct]
+        l0 = l_ref[:][:, :1]
+        l_ref[:] = jnp.broadcast_to(
+            l0 * corr + jnp.sum(e, axis=1, keepdims=True), (bb, 128)
+        )
+        wsum = jnp.sum(e[:, :, None] * xj.reshape(bb, ct, ho), axis=1)
+        acc_ref[:] = acc_ref[:] * corr + wsum
+        m_ref[:] = jnp.broadcast_to(m1, (bb, 128))
 
     @pl.when(j == n_ct - 1)
     def _():
@@ -250,69 +259,84 @@ def _bwd_kernel(keys_ref, ps_ref, pt_ref, valid_ref, q_ref, g_out_ref,
             s[:] = jnp.zeros((bb, ho), jnp.float32)
         dw2_s[:] = jnp.zeros((dh, ho), jnp.float32)
 
-    w1 = w1_ref[:].reshape(2, dh)
-    w1a = w1[0:1].reshape(1, 1, dh)
-    w1b = w1[1:2].reshape(1, 1, dh)
-    b1 = b1_ref[:].reshape(dh)
-    g = g_ref[:].reshape(dh)
-    b = b_ref[:].reshape(dh)
-    w2 = w2_ref[:].reshape(dh, ho)
-    kdt = w2.dtype
-    ps3 = ps_ref[:].reshape(bb, ct)[:, :, None]
-    pt3 = pt_ref[:].reshape(bb, ct)[:, :, None]
-
-    pe_a, xhat_a, r_a, h2_a = _pe_dir(ps3, pt3, w1a, w1b, b1, g, b, w2, kdt)
-    pe_b, xhat_b, r_b, h2_b = _pe_dir(pt3, ps3, w1a, w1b, b1, g, b, w2, kdt)
-
-    keys2 = keys_ref[:].reshape(bb * ct, ho).astype(jnp.float32)
-    xj2 = keys2 + pe_a + pe_b + cbias_ref[:].reshape(1, ho)
-    xj3 = xj2.reshape(bb, ct, ho)
-
-    qb = jnp.repeat(q_ref[:], ct, axis=0)                      # [bb*ct, O]
-    pre2 = xj2 * qb
-    z2 = jnp.where(pre2 >= 0, pre2, 0.2 * pre2)
-    att_row = att_ref[:].reshape(1, ho)
-    logits = jnp.sum((z2 * att_row).reshape(bb, ct, ho), axis=-1)
     v = valid_ref[:].reshape(bb, ct)
-    logits = jnp.where(v > 0, logits, _NEG)
+    tile_live = jnp.any(v > 0)
 
-    m = m_ref[:][:, :1]
-    l = jnp.maximum(l_ref[:][:, :1], 1e-16)
-    alpha = jnp.exp(logits - m) / l * v                        # [bb, ct]
+    # dead tile (see the forward kernel's gating note): alpha = 0 and
+    # dlogits = 0 identically, so every scratch contribution is an exact
+    # zero and the per-(tile, block) outputs are zeros — write them
+    # directly and skip the PE recompute + 8 matmuls
+    @pl.when(tile_live)
+    def _():
+        w1 = w1_ref[:].reshape(2, dh)
+        w1a = w1[0:1].reshape(1, 1, dh)
+        w1b = w1[1:2].reshape(1, 1, dh)
+        b1 = b1_ref[:].reshape(dh)
+        g = g_ref[:].reshape(dh)
+        b = b_ref[:].reshape(dh)
+        w2 = w2_ref[:].reshape(dh, ho)
+        kdt = w2.dtype
+        ps3 = ps_ref[:].reshape(bb, ct)[:, :, None]
+        pt3 = pt_ref[:].reshape(bb, ct)[:, :, None]
 
-    gb = jnp.repeat(g_out_ref[:], ct, axis=0)                  # [bb*ct, O]
-    galpha = jnp.sum((gb * xj2).reshape(bb, ct, ho), axis=-1)  # [bb, ct]
-    delta = delta_ref[:][:, :1]
-    dlogits = alpha * (galpha - delta)                         # [bb, ct]
-    dlog3 = dlogits[:, :, None]
+        pe_a, xhat_a, r_a, h2_a = _pe_dir(
+            ps3, pt3, w1a, w1b, b1, g, b, w2, kdt)
+        pe_b, xhat_b, r_b, h2_b = _pe_dir(
+            pt3, ps3, w1a, w1b, b1, g, b, w2, kdt)
 
-    datt_s[:] = datt_s[:] + jnp.sum(
-        dlog3 * z2.reshape(bb, ct, ho), axis=1)                # [bb, O]
+        keys2 = keys_ref[:].reshape(bb * ct, ho).astype(jnp.float32)
+        xj2 = keys2 + pe_a + pe_b + cbias_ref[:].reshape(1, ho)
+        xj3 = xj2.reshape(bb, ct, ho)
 
-    sa2 = jnp.where(pre2 >= 0, 1.0, 0.2) * att_row             # [bb*ct, O]
-    dpre3 = dlog3 * sa2.reshape(bb, ct, ho)
-    axj3 = alpha[:, :, None] * gb.reshape(bb, ct, ho)
-    dxj3 = axj3 + dpre3 * qb.reshape(bb, ct, ho)               # [bb, ct, O]
-    dxj2 = dxj3.reshape(bb * ct, ho)
-    dxj2c = dxj2.astype(kdt)
+        qb = jnp.repeat(q_ref[:], ct, axis=0)                  # [bb*ct, O]
+        pre2 = xj2 * qb
+        z2 = jnp.where(pre2 >= 0, pre2, 0.2 * pre2)
+        att_row = att_ref[:].reshape(1, ho)
+        logits = jnp.sum((z2 * att_row).reshape(bb, ct, ho), axis=-1)
+        logits = jnp.where(v > 0, logits, _NEG)
 
-    # node half: xj = keys + ... so dkeys is dxj directly
-    dkeys_ref[:] = dxj3.astype(dkeys_ref.dtype)
-    # dq partial for this (tile, B-block); summed over tiles by XLA
-    dqp_ref[:] = jnp.sum(dpre3 * xj3, axis=1)                  # [bb, O]
-    dcb_s[:] = dcb_s[:] + jnp.sum(dxj3, axis=1)
+        m = m_ref[:][:, :1]
+        l = jnp.maximum(l_ref[:][:, :1], 1e-16)
+        alpha = jnp.exp(logits - m) / l * v                    # [bb, ct]
 
-    dw2a, db1a, dga, dba, dw1fa, dw1ga = _dir_bwd(
-        ps3, pt3, xhat_a, r_a, h2_a, b, w2, g, dxj2, dxj2c, kdt)
-    dw2b, db1b, dgb_, dbb, dw1fb, dw1gb = _dir_bwd(
-        pt3, ps3, xhat_b, r_b, h2_b, b, w2, g, dxj2, dxj2c, kdt)
+        gb = jnp.repeat(g_out_ref[:], ct, axis=0)              # [bb*ct, O]
+        galpha = jnp.sum((gb * xj2).reshape(bb, ct, ho), axis=-1)
+        delta = delta_ref[:][:, :1]
+        dlogits = alpha * (galpha - delta)                     # [bb, ct]
+        dlog3 = dlogits[:, :, None]
 
-    db1_s[:] = db1_s[:] + db1a + db1b
-    dg_s[:] = dg_s[:] + dga + dgb_
-    db_s[:] = db_s[:] + dba + dbb
-    dw1f_s[:] = dw1f_s[:] + dw1fa + dw1fb
-    dw1g_s[:] = dw1g_s[:] + dw1ga + dw1gb
-    dw2_s[:] = dw2_s[:] + dw2a + dw2b
+        datt_s[:] = datt_s[:] + jnp.sum(
+            dlog3 * z2.reshape(bb, ct, ho), axis=1)            # [bb, O]
+
+        sa2 = jnp.where(pre2 >= 0, 1.0, 0.2) * att_row         # [bb*ct, O]
+        dpre3 = dlog3 * sa2.reshape(bb, ct, ho)
+        axj3 = alpha[:, :, None] * gb.reshape(bb, ct, ho)
+        dxj3 = axj3 + dpre3 * qb.reshape(bb, ct, ho)           # [bb, ct, O]
+        dxj2 = dxj3.reshape(bb * ct, ho)
+        dxj2c = dxj2.astype(kdt)
+
+        # node half: xj = keys + ... so dkeys is dxj directly
+        dkeys_ref[:] = dxj3.astype(dkeys_ref.dtype)
+        # dq partial for this (tile, B-block); summed over tiles by XLA
+        dqp_ref[:] = jnp.sum(dpre3 * xj3, axis=1)              # [bb, O]
+        dcb_s[:] = dcb_s[:] + jnp.sum(dxj3, axis=1)
+
+        dw2a, db1a, dga, dba, dw1fa, dw1ga = _dir_bwd(
+            ps3, pt3, xhat_a, r_a, h2_a, b, w2, g, dxj2, dxj2c, kdt)
+        dw2b, db1b, dgb_, dbb, dw1fb, dw1gb = _dir_bwd(
+            pt3, ps3, xhat_b, r_b, h2_b, b, w2, g, dxj2, dxj2c, kdt)
+
+        db1_s[:] = db1_s[:] + db1a + db1b
+        dg_s[:] = dg_s[:] + dga + dgb_
+        db_s[:] = db_s[:] + dba + dbb
+        dw1f_s[:] = dw1f_s[:] + dw1fa + dw1fb
+        dw1g_s[:] = dw1g_s[:] + dw1ga + dw1gb
+        dw2_s[:] = dw2_s[:] + dw2a + dw2b
+
+    @pl.when(jnp.logical_not(tile_live))
+    def _():
+        dkeys_ref[:] = jnp.zeros((bb, ct, ho), dkeys_ref.dtype)
+        dqp_ref[:] = jnp.zeros((bb, ho), jnp.float32)
 
     @pl.when(i == nb - 1)
     def _():

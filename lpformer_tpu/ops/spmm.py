@@ -341,6 +341,105 @@ def spmm_bell(
     return _spmm_bell_raw(bell, w_norm, x, diag, gather_dtype)
 
 
+# --------------------------------------------------------------------------
+# (dst_block x src_block)-tiled COO SpMM for LARGE node tables
+# --------------------------------------------------------------------------
+
+def _spmm_blocked_raw(blk, w_norm, x, diag, gather_dtype):
+    """out[v] = sum w_uv * x[u] (+ diag term) over a
+    :class:`~lpformer_tpu.graph.containers.BlockedCOO`.
+
+    Every neighbor gather addresses ONE <=16 MB table slice: the gather
+    engine's row rate from a [1M, 64] table is ~54 Mrows/s vs ~337 from
+    a [131k, 64] slice (bench --gather on v5e), and these gathers
+    dominate the citation2-like step. ``optimization_barrier`` pins each
+    slice as a materialized small array so XLA cannot fuse the slice
+    back into a full-table gather. Per-tile segment_sums are dst-sorted
+    with a dummy pad row; accumulation is f32.
+    """
+    n, d = x.shape
+    bs, kb = blk.block, blk.kb
+    xg = x if gather_dtype is None else x.astype(gather_dtype)
+    w_ext = (
+        None if w_norm is None
+        else jnp.concatenate([w_norm, jnp.zeros((1,), w_norm.dtype)])
+    )
+    outs = []
+    for jj in range(kb):
+        acc = jnp.zeros((bs + 1, d), jnp.float32)
+        for ii in range(kb):
+            t = jj * kb + ii
+            sl, dl = blk.sl[t], blk.dl[t]
+            tw = blk.tw[t] if w_norm is None else w_ext[blk.te[t]]
+            lo = ii * bs
+            width = bs if lo + bs <= n else n - lo
+            xs = jax.lax.dynamic_slice_in_dim(xg, lo, width, 0)
+            if width < bs:
+                xs = jnp.concatenate(
+                    [xs, jnp.zeros((bs - width, d), xs.dtype)], axis=0
+                )
+            xs = jax.lax.optimization_barrier(xs)
+            g = xs[sl].astype(jnp.float32) * tw[:, None]
+            acc = acc + jax.ops.segment_sum(
+                g, dl, num_segments=bs + 1, indices_are_sorted=True
+            )
+        outs.append(acc[:bs])
+    out = jnp.concatenate(outs, axis=0)[:n].astype(x.dtype)
+    if diag is not None:
+        out = out + diag[:, None] * x
+    return out
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _spmm_blocked_symmetric(blk, w_norm, x, diag, gather_dtype):
+    return _spmm_blocked_raw(blk, w_norm, x, diag, gather_dtype)
+
+
+def _spmm_blocked_fwd(blk, w_norm, x, diag, gather_dtype):
+    return _spmm_blocked_raw(blk, w_norm, x, diag, gather_dtype), (
+        blk, w_norm, diag
+    )
+
+
+def _spmm_blocked_bwd(gather_dtype, res, ct):
+    """Symmetric A: d/dx (A_hat x) = A_hat ct — the same tiled pass on
+    the cotangent (no transpose layout needed)."""
+    blk, w_norm, diag = res
+    dx = _spmm_blocked_raw(blk, w_norm, ct, diag, gather_dtype)
+    import numpy as _np
+
+    def z(a):
+        if jnp.issubdtype(a.dtype, jnp.floating):
+            return jnp.zeros_like(a)
+        return _np.zeros(a.shape, dtype=jax.dtypes.float0)
+
+    blk_ct = jax.tree_util.tree_map(z, blk)
+    return blk_ct, (
+        None if w_norm is None else jnp.zeros_like(w_norm)
+    ), dx, (
+        None if diag is None else jnp.zeros_like(diag)
+    )
+
+
+_spmm_blocked_symmetric.defvjp(_spmm_blocked_fwd, _spmm_blocked_bwd)
+
+
+def spmm_blocked(
+    blk,
+    w_norm: Optional[jnp.ndarray],
+    x: jnp.ndarray,
+    diag: Optional[jnp.ndarray] = None,
+    symmetric: bool = True,
+    gather_dtype=None,
+) -> jnp.ndarray:
+    """Tiled SpMM over a :class:`BlockedCOO` (same contract as
+    :func:`spmm`; ``w_norm=None`` uses the static prelaid tile weights,
+    otherwise weights re-gather through ``blk.te``)."""
+    if symmetric:
+        return _spmm_blocked_symmetric(blk, w_norm, x, diag, gather_dtype)
+    return _spmm_blocked_raw(blk, w_norm, x, diag, gather_dtype)
+
+
 def gcn_propagate(
     edge_src: jnp.ndarray,
     edge_dst: jnp.ndarray,

@@ -61,14 +61,14 @@ def main():
     print(f"[study] degree tail: p50={np.percentile(deg, 50):.0f} "
           f"p99={np.percentile(deg, 99):.0f} max={deg.max():.0f}")
 
-    # exact per-class context sizes (counts are pre-truncation):
-    # budgets big enough that nothing truncates
+    # exact per-class context sizes: ContextTables.counts is computed
+    # PRE-truncation (ops/context.py), so a tiny-budget probe suffices —
+    # node-count-sized budgets would make the compare-all extraction
+    # enormous on CPU
     probe_cfg = LPFormerConfig(
         dim=32, gnn_layers=1, thresh_cn=0.0, thresh_1hop=1e-4,
         thresh_non1hop=1e-4,
-        budget_cn=((args.nodes + 7) // 8) * 8,
-        budget_onehop=((args.nodes + 7) // 8) * 8,
-        budget_non1hop=((args.nodes + 7) // 8) * 8,
+        budget_cn=8, budget_onehop=8, budget_non1hop=8,
         dropout=0.0, gnn_drop=0.0, att_drop=0.0,
     )
     tp = np.asarray(ds.train_pos)

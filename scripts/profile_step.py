@@ -48,6 +48,7 @@ def main():
     ds = synthetic_dataset(
         seed=0, num_nodes=p["nodes"], num_train=p["edges"], num_eval=1000,
         feat_dim=p["feat"], eps=5e-4, adj_cap=96, ppr_cap=256,
+        ppr_cache_dir=".synth_cache",
     )
     if args.no_ell and ds.graph.ell is not None:
         import dataclasses

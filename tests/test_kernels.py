@@ -314,3 +314,84 @@ def test_bell_empty_graph():
     assert BucketedELL.from_sorted_coo(
         np.zeros(0, np.int32), np.zeros(0, np.int32), 10
     ) is None
+
+
+def _blk_graph(seed, n=300, m=1500, block=64):
+    from lpformer_tpu.graph.containers import BlockedCOO
+
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    s, d, w = pp.symmetrize(src, dst, None, n)
+    s2, d2, w2 = pp.sort_by_dst(s.astype(np.int32), d.astype(np.int32), w, n)
+    es, ed, ew = jnp.asarray(s2), jnp.asarray(d2), jnp.asarray(w2)
+    w_norm, diag = spmm.gcn_norm_device(es, ed, ew, n)
+    blk = BlockedCOO.from_coo(
+        s2, d2, n, w_norm=np.asarray(w_norm), block=block, pad_to=16
+    )
+    return es, ed, jnp.asarray(w_norm), diag, blk, n
+
+
+def test_blocked_spmm_matches_coo():
+    """Tiled small-slice SpMM == the COO path: static weights, dynamic
+    weights via blk.te, no-diag + bf16-gather variants, and a node count
+    that does NOT divide the block (ragged last slice)."""
+    es, ed, w_norm, diag, blk, n = _blk_graph(0, n=300, block=64)
+    assert n % blk.block != 0 and blk.kb == 5
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((n, 24)), jnp.float32
+    )
+    ref = spmm.spmm(es, ed, w_norm, x, n, diag=diag)
+    got_static = spmm.spmm_blocked(blk, None, x, diag=diag)
+    np.testing.assert_allclose(np.asarray(got_static), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    got_dyn = spmm.spmm_blocked(blk, w_norm, x, diag=diag)
+    np.testing.assert_allclose(np.asarray(got_dyn), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    ref2 = spmm.spmm(es, ed, w_norm, x, n, gather_dtype=jnp.bfloat16)
+    got2 = spmm.spmm_blocked(blk, None, x, gather_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_blocked_spmm_grad_matches_coo():
+    es, ed, w_norm, diag, blk, n = _blk_graph(3, n=257, block=64)
+    x = jnp.asarray(
+        np.random.default_rng(4).standard_normal((n, 12)), jnp.float32
+    )
+    t = jnp.asarray(
+        np.random.default_rng(5).standard_normal((n, 12)), jnp.float32
+    )
+    g_ref = jax.grad(
+        lambda v: (spmm.spmm(es, ed, w_norm, v, n, diag=diag) * t).sum()
+    )(x)
+    g_blk = jax.grad(
+        lambda v: (spmm.spmm_blocked(blk, None, v, diag=diag) * t).sum()
+    )(x)
+    np.testing.assert_allclose(np.asarray(g_blk), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_gcn_apply_blocked_matches_coo():
+    """Model-level: gcn_apply prefers blk and matches the COO path, in
+    both the static-norm and dynamic-weights (mask_input) regimes."""
+    from lpformer_tpu.graph.containers import BlockedCOO
+    from lpformer_tpu.models import gcn
+
+    es, ed, w_norm, diag, blk, n = _blk_graph(6, n=200, block=64)
+    params = gcn.gcn_init(jax.random.PRNGKey(0), 16, 32, 32, num_layers=2)
+    x = jnp.asarray(
+        np.random.default_rng(7).standard_normal((n, 16)), jnp.float32
+    )
+    ew = jnp.ones_like(w_norm)
+    ref = gcn.gcn_apply(params, x, es, ed, ew, n,
+                        norm=(w_norm, diag))
+    got = gcn.gcn_apply(params, x, es, ed, ew, n,
+                        norm=(w_norm, diag), blk=blk)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # dynamic: no host norm -> weights re-gathered through blk.te
+    ref_d = gcn.gcn_apply(params, x, es, ed, ew, n)
+    got_d = gcn.gcn_apply(params, x, es, ed, ew, n, blk=blk)
+    np.testing.assert_allclose(np.asarray(got_d), np.asarray(ref_d),
+                               rtol=1e-5, atol=1e-5)
