@@ -53,9 +53,15 @@ def main():
         TrainArgs, overflow_audit, train_data,
     )
 
+    # row caps at the audit recommendation (~p99.9 of row lengths): an
+    # UNCAPPED heavy-tail graph stores [N, max_degree] row tables (the
+    # power-1.2 hub has degree ~2700) and the compare-all extraction
+    # goes quadratic on CPU. Budget truncation — the subject here — is
+    # measured downstream of these caps, exactly as in production.
     ds = synthetic_dataset(
         seed=0, num_nodes=args.nodes, num_train=args.edges,
         num_eval=256, feat_dim=16, eps=args.eps, power=args.power,
+        adj_cap=512, ppr_cap=512,
     )
     deg = np.asarray(ds.graph.degree)
     print(f"[study] degree tail: p50={np.percentile(deg, 50):.0f} "
