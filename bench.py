@@ -181,6 +181,7 @@ def main():
         adj_cap=96,
         ppr_cap=256,
         ppr_cache_dir=None if args.smoke else (args.ppr_cache or None),
+        mask_input=args.mask_input,
     )
     import dataclasses
 

@@ -101,6 +101,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", type=str, default=None,
                    help="'D,G' (data x graph) or 'auto': train + eval over "
                         "a device mesh with row-sharded context state")
+    # multi-host bring-up (parallel/distributed.py; one command per
+    # host — the mesh then spans every host's chips)
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="multi-host: coordinator address host:port "
+                        "(same value on every host)")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="multi-host: total number of processes")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="multi-host: this process's id (0-based; 0 owns "
+                        "checkpoint writes and logging)")
+    p.add_argument("--distributed", type=str, default=None,
+                   choices=["auto"],
+                   help="'auto': JAX cluster auto-detection (Cloud TPU "
+                        "pod metadata) instead of explicit coordinator "
+                        "flags")
     p.add_argument("--grad-accum", type=int, default=1,
                    help="micro-batches per optimizer step (memory cap)")
     p.add_argument("--steps-per-call", type=int, default=1,
@@ -142,6 +157,7 @@ def load_dataset(args):
             feat_dim=args.syn_feat,
             eps=args.eps,
             heart=args.heart,
+            mask_input=args.mask_input,
             # Uncapped rows on a dense synthetic PPR (cap ~ N) make the
             # [B, A, P] extraction compares quadratic in N — at the
             # default test batch that is a multi-100GB buffer.
@@ -155,6 +171,7 @@ def load_dataset(args):
             args.data_name, data_dir=args.data_dir, eps=args.eps,
             heart=args.heart, seed=args.seed,
             adj_cap=args.adj_cap, ppr_cap=args.ppr_cap,
+            mask_input=args.mask_input,
         )
     from lpformer_tpu.data.ogb import read_data_ogb
 
@@ -163,6 +180,7 @@ def load_dataset(args):
         heart=args.heart, use_val_in_test=args.use_val_in_test,
         dim_for_featureless=args.dim, seed=args.seed,
         adj_cap=args.adj_cap, ppr_cap=args.ppr_cap,
+        mask_input=args.mask_input,
     )
 
 
@@ -248,6 +266,16 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+
+    # multi-host bring-up MUST precede any backend-touching jax call
+    from lpformer_tpu.parallel import distributed as dist
+
+    dist.initialize(
+        coordinator=args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+        auto=args.distributed == "auto",
+    )
 
     from lpformer_tpu.utils.seed import init_seed
 

@@ -67,6 +67,7 @@ def build_graph_bundle(
     mask_uniq_keys: Optional[np.ndarray] = None,
     build_ell: Optional[bool] = None,
     build_blocked: Optional[bool] = None,
+    mask_input: bool = False,
 ) -> GraphBundle:
     """Assemble the static device-side graph state.
 
@@ -133,8 +134,12 @@ def build_graph_bundle(
         build_blocked = num_nodes >= 262_144
     from lpformer_tpu.graph.containers import BlockedCOO
 
+    # te (original edge ids, ~E x int32 of HBM) exists only for dynamic
+    # re-weighting under --mask-input; static-norm runs skip it
     blk = (
-        BlockedCOO.from_coo(ps_, pd_, num_nodes, w_norm=w_norm)
+        BlockedCOO.from_coo(
+            ps_, pd_, num_nodes, w_norm=w_norm, with_edge_ids=mask_input
+        )
         if build_blocked
         else None
     )

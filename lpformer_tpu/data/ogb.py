@@ -124,6 +124,7 @@ def read_data_ogb(
     ppr_cap: Optional[int] = None,
     cache_dir: Optional[str] = None,
     npz_path: Optional[str] = None,
+    mask_input: bool = False,
 ) -> LinkPredDataset:
     npz_default = os.path.join(data_dir, f"{data_name}.npz")
     if npz_path or os.path.exists(npz_default):
@@ -188,7 +189,7 @@ def read_data_ogb(
     graph = build_graph_bundle(
         x, ei[0], ei[1], ew, n, ppr_csr,
         adj_cap=adj_cap, ppr_cap=ppr_cap, symmetrize=True,
-        mask_uniq_keys=uniq,
+        mask_uniq_keys=uniq, mask_input=mask_input,
     )
 
     if use_val_in_test:

@@ -41,6 +41,7 @@ def read_data_planetoid(
     adj_cap: Optional[int] = None,
     ppr_cap: Optional[int] = None,
     cache_dir: Optional[str] = None,
+    mask_input: bool = False,
 ) -> LinkPredDataset:
     d = os.path.join(data_dir, data_name)
     # node count = number of distinct nodes across pos splits (:159-182)
@@ -82,7 +83,7 @@ def read_data_planetoid(
     graph = build_graph_bundle(
         feats, src, dst, None, num_nodes, ppr_csr,
         adj_cap=adj_cap, ppr_cap=ppr_cap, symmetrize=True,
-        mask_uniq_keys=uniq,
+        mask_uniq_keys=uniq, mask_input=mask_input,
     )
 
     rng = np.random.default_rng(seed)

@@ -50,6 +50,7 @@ def synthetic_dataset(
     metric: str = "MRR",
     ppr_cache_dir: Optional[str] = None,
     power: float = 0.8,
+    mask_input: bool = False,
 ) -> LinkPredDataset:
     """``power`` shapes the endpoint degree distribution (preferential-
     attachment weight ~ rank^-power); >1 gives an ogbl-ppa-like heavy
@@ -100,6 +101,7 @@ def synthetic_dataset(
     graph = build_graph_bundle(
         x, src, dst, None, num_nodes, ppr_csr,
         adj_cap=adj_cap, ppr_cap=ppr_cap, mask_uniq_keys=uniq,
+        mask_input=mask_input,
     )
     idx = rng.permutation(len(train_pos))[: len(valid_pos)]
     return LinkPredDataset(

@@ -360,6 +360,12 @@ def _spmm_blocked_raw(blk, w_norm, x, diag, gather_dtype):
     n, d = x.shape
     bs, kb = blk.block, blk.kb
     xg = x if gather_dtype is None else x.astype(gather_dtype)
+    if w_norm is not None and blk.te is None:
+        raise ValueError(
+            "dynamic re-weighting (--mask-input) needs per-tile edge ids, "
+            "but this BlockedCOO was built with with_edge_ids=False; "
+            "rebuild the graph bundle with mask_input=True"
+        )
     w_ext = (
         None if w_norm is None
         else jnp.concatenate([w_norm, jnp.zeros((1,), w_norm.dtype)])

@@ -73,10 +73,13 @@ def overflow_audit(ds, cfg, sample: int = 2048):
     host CPU backend (cheap; never pays a tunnel compile). Returns
     (link_overflow_rate, entry_overflow_rate): the fraction of links
     whose context sets were truncated by the static budgets, and the
-    fraction of context entries dropped. ``ContextTables.overflow``
-    (ops/context.py) supplies the per-link counts; the reference has no
-    budgets, so nonzero overflow is a framework-only approximation that
-    must be surfaced, not silent (SURVEY §7 hard-part #1)."""
+    fraction of context entries dropped — or ``None`` when no CPU
+    backend exists (e.g. jax_platforms pinned to tpu), in which case the
+    audit is skipped rather than paying an accelerator compile.
+    ``ContextTables.overflow`` (ops/context.py) supplies the per-link
+    counts; the reference has no budgets, so nonzero overflow is a
+    framework-only approximation that must be surfaced, not silent
+    (SURVEY §7 hard-part #1)."""
     from lpformer_tpu.ops.context import extract_context
 
     tp = np.asarray(ds.train_pos)
@@ -85,7 +88,13 @@ def overflow_audit(ds, cfg, sample: int = 2048):
     try:
         cpu0 = jax.devices("cpu")[0]
     except RuntimeError:
-        cpu0 = jax.devices()[0]
+        print(
+            "[budgets] no CPU backend available — skipping the "
+            "start-of-training overflow audit (run "
+            "scripts/audit_budgets.py separately)",
+            flush=True,
+        )
+        return None
     with jax.default_device(cpu0):
         ctx = jax.jit(
             lambda a, p, s, t: extract_context(a, p, s, t, cfg.context)
@@ -181,10 +190,23 @@ def train_loop(
 ) -> float:
     """One run's training (reference train_model.py:87-140). ``seed`` is
     the logger/run index; ``rng_seed`` (default: same) seeds the RNGs."""
+    from lpformer_tpu.parallel import distributed as dist
+
+    # multi-host: host-side side effects (prints, checkpoint writes, the
+    # CPU overflow audit) belong to process 0; the device math is
+    # identical on every process by construction (seeded batches)
+    main_process = dist.is_coordinator()
+    if not main_process:
+        args = dataclasses.replace(args, verbose=False)
     if rng_seed is None:
         rng_seed = seed
-    if args.audit_budgets and seed == 0:
-        link_rate, entry_rate = overflow_audit(ds, cfg)
+    audit = (
+        overflow_audit(ds, cfg)
+        if args.audit_budgets and seed == 0 and main_process
+        else None
+    )
+    if audit is not None:
+        link_rate, entry_rate = audit
         if args.verbose or link_rate > 0.005:
             print(
                 f"[budgets] context overflow: {link_rate:.2%} of links "
@@ -362,7 +384,7 @@ def train_loop(
             )
 
         if (args.save_every and model_save_name is not None
-                and epoch % args.save_every == 0):
+                and main_process and epoch % args.save_every == 0):
             # periodic crash-recovery checkpoint (reference has none —
             # SURVEY §5 failure handling; pairs with --resume)
             ckpt.save_checkpoint(
@@ -387,7 +409,7 @@ def train_loop(
             if current > best_valid:
                 kill_cnt = 0
                 best_valid = current
-                if model_save_name is not None:
+                if model_save_name is not None and main_process:
                     ckpt.save_checkpoint(
                         model_save_name + ".ckpt",
                         {
@@ -433,8 +455,13 @@ def train_data(
             run_name = model_save_name + f"_seed-{run + 1}"
         train_loop(args, cfg, ds, loggers, run, run_name, rng_seed=rng_seed)
 
-    print(args.metric + "\n" + "-" * len(args.metric))
-    best_mean, best_var = loggers[args.metric].print_statistics()
+    from lpformer_tpu.parallel import distributed as dist
+
+    if dist.is_coordinator():
+        print(args.metric + "\n" + "-" * len(args.metric))
+    best_mean, best_var = loggers[args.metric].print_statistics(
+        verbose=dist.is_coordinator()
+    )
     return (
         best_mean[1],
         f"{best_mean[1]} ± {best_var[1]}",

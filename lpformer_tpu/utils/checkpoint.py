@@ -23,9 +23,18 @@ are safe on untrusted files and stable across JAX/optax versions:
 Writes are atomic (temp file + ``os.replace``) so a crash mid-save never
 corrupts the previous crash-recovery checkpoint.
 
-Legacy: files written by the round-2 pickle format are still readable
-(detected by magic; the ``target`` argument is ignored for them). The
-pickle writer is gone; re-save any old checkpoint to migrate.
+Legacy: files written by the round-2 pickle format are detected by
+magic but are NOT loaded by default — pickle can execute arbitrary
+code, so reading one requires an explicit
+``load_checkpoint(path, allow_legacy_pickle=True)`` opt-in from the
+caller (the ``target`` argument is ignored for them). The pickle
+writer is gone; re-save any old checkpoint to migrate.
+
+Dtype safety: ``np.savez`` silently degrades non-native dtypes (an
+ml_dtypes bfloat16 leaf would round-trip as a raw ``|V2`` void array).
+Saves therefore verify every leaf dtype survives the npz descr
+round-trip; leaves that don't are stored as float32 with the original
+dtype recorded in the manifest and cast back on load.
 """
 from __future__ import annotations
 
@@ -72,6 +81,18 @@ def _canon(comps) -> str:
     return "/".join(f"{t}:{v}" for t, v in comps)
 
 
+def _npz_safe_dtype(dt: np.dtype) -> bool:
+    """True iff np.lib.format preserves this dtype exactly (ml_dtypes
+    extension dtypes like bfloat16 serialize as raw void and lose their
+    identity silently)."""
+    try:
+        return np.lib.format.descr_to_dtype(
+            np.lib.format.dtype_to_descr(dt)
+        ) == dt
+    except Exception:
+        return False
+
+
 def save_checkpoint(path: str, state: Dict[str, Any]) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     flat, _ = jax.tree_util.tree_flatten_with_path(state)
@@ -79,8 +100,14 @@ def save_checkpoint(path: str, state: Dict[str, Any]) -> None:
     entries = []
     for i, (p, leaf) in enumerate(flat):
         name = f"leaf_{i:05d}"
-        arrays[name] = np.asarray(leaf)
-        entries.append({"name": name, "path": _path_components(p)})
+        arr = np.asarray(leaf)
+        entry = {"name": name, "path": _path_components(p)}
+        if not _npz_safe_dtype(arr.dtype):
+            # store as f32, remember the true dtype for the load-side cast
+            entry["dtype"] = str(arr.dtype)
+            arr = arr.astype(np.float32)
+        arrays[name] = arr
+        entries.append(entry)
     manifest = {
         "format": FORMAT_NAME,
         "version": FORMAT_VERSION,
@@ -135,8 +162,16 @@ def _load_npz(path: str, target: Optional[Any]):
                 f"{path}: checkpoint version {manifest['version']} is newer "
                 f"than this build supports ({FORMAT_VERSION})"
             )
+        def _leaf(e):
+            arr = z[e["name"]]
+            if "dtype" in e:  # stored upcast to f32; restore true dtype
+                import ml_dtypes  # noqa: F401  (registers the dtypes)
+
+                arr = arr.astype(np.dtype(e["dtype"]))
+            return arr
+
         entries = [
-            ([tuple(c) for c in e["path"]], z[e["name"]])
+            ([tuple(c) for c in e["path"]], _leaf(e))
             for e in manifest["paths"]
         ]
     if target is None:
@@ -167,15 +202,37 @@ def _load_legacy_pickle(path: str):
     return jax.tree_util.tree_unflatten(blob["treedef"], blob["leaves"])
 
 
+_PICKLE_MAGIC = b"\x80"  # pickle protocol-2+ opcode PROTO
+
+
 def load_checkpoint(
-    path: str, target: Optional[Any] = None
+    path: str,
+    target: Optional[Any] = None,
+    allow_legacy_pickle: bool = False,
 ) -> Optional[Dict[str, Any]]:
     """Load a checkpoint. ``target``: an arbitrary pytree whose structure
     the leaves are restored into (required to rebuild optimizer-state
     namedtuples; ignored for legacy pickle files). Returns None if the
-    file does not exist."""
+    file does not exist.
+
+    Legacy round-2 pickle files are refused unless the caller passes
+    ``allow_legacy_pickle=True`` — unpickling executes arbitrary code,
+    so it must be an explicit per-call decision on a trusted file, never
+    a silent fallback.
+    """
     if not os.path.exists(path):
         return None
     if zipfile.is_zipfile(path):
         return _load_npz(path, target)
-    return _load_legacy_pickle(path)
+    with open(path, "rb") as f:
+        head = f.read(1)
+    if head == _PICKLE_MAGIC:
+        if not allow_legacy_pickle:
+            raise ValueError(
+                f"{path}: legacy round-2 pickle checkpoint. Loading it "
+                f"executes pickle (arbitrary code); if you trust this "
+                f"file, pass allow_legacy_pickle=True and re-save it to "
+                f"migrate to the npz format."
+            )
+        return _load_legacy_pickle(path)
+    raise ValueError(f"{path}: not a {FORMAT_NAME} npz checkpoint")

@@ -34,9 +34,13 @@ class ResultsLogger:
             out.append(int(eval_steps * (r[:, 1].argmax() + 1)))
         return out
 
-    def print_statistics(self, run=None):
+    def print_statistics(self, run=None, verbose=True):
         """Returns (mean_list, var_list) for (train@best, best_valid,
-        test@best) x100, exactly like the reference (:103-152)."""
+        test@best) x100, exactly like the reference (:103-152).
+        ``verbose=False`` computes without printing (multi-host
+        non-coordinator processes)."""
+        import builtins
+        print = builtins.print if verbose else (lambda *a, **k: None)
         if run is not None:
             result = 100 * np.asarray(self.results[run])
             argmax = int(result[:, 1].argmax())

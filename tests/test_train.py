@@ -216,12 +216,15 @@ def test_checkpoint_format_pickle_free_and_target_restore(tmp_path):
         ckpt.load_checkpoint(path, target=bad)
 
 
-def test_legacy_pickle_checkpoint_still_loads(tmp_path):
-    """Round-2 pickle checkpoints remain readable for migration."""
+def test_legacy_pickle_checkpoint_requires_optin(tmp_path):
+    """Round-2 pickle checkpoints load ONLY behind an explicit
+    allow_legacy_pickle=True (unpickling runs arbitrary code, so a
+    silent fallback would void the format's untrusted-file safety)."""
     import os
     import pickle
 
     import jax
+    import pytest
 
     from lpformer_tpu.utils import checkpoint as ckpt
 
@@ -231,9 +234,40 @@ def test_legacy_pickle_checkpoint_still_loads(tmp_path):
     with open(path, "wb") as f:
         pickle.dump({"treedef": treedef,
                      "leaves": [np.asarray(x) for x in leaves]}, f)
-    blob = ckpt.load_checkpoint(path)
+    with pytest.raises(ValueError, match="legacy round-2 pickle"):
+        ckpt.load_checkpoint(path)
+    blob = ckpt.load_checkpoint(path, allow_legacy_pickle=True)
     assert int(blob["epoch"]) == 2
     np.testing.assert_array_equal(blob["params"]["w"], np.arange(4.0))
+
+    # junk that is neither zip nor pickle is a loud error either way
+    junk = os.path.join(str(tmp_path), "junk.ckpt")
+    with open(junk, "wb") as f:
+        f.write(b"not a checkpoint")
+    with pytest.raises(ValueError, match="not a"):
+        ckpt.load_checkpoint(junk, allow_legacy_pickle=True)
+
+
+def test_checkpoint_preserves_mldtypes_leaves(tmp_path):
+    """npz silently degrades ml_dtypes leaves to raw void arrays; the
+    format must round-trip a bfloat16 leaf bit-exactly via the manifest
+    dtype record (ADVICE r3)."""
+    import os
+
+    import ml_dtypes
+
+    from lpformer_tpu.utils import checkpoint as ckpt
+
+    w = np.arange(-8, 8, dtype=np.float32).astype(ml_dtypes.bfloat16)
+    state = {"params": {"w": w, "b": np.float32(2.5)}, "step": 3}
+    path = os.path.join(str(tmp_path), "bf16.ckpt")
+    ckpt.save_checkpoint(path, state)
+    blob = ckpt.load_checkpoint(path)
+    assert blob["params"]["w"].dtype == ml_dtypes.bfloat16
+    np.testing.assert_array_equal(
+        blob["params"]["w"].view(np.uint16), w.view(np.uint16)
+    )
+    assert blob["params"]["b"].dtype == np.float32
 
 
 def test_true_resume_from_npz_checkpoint(tmp_path):
