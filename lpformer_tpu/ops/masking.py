@@ -33,7 +33,11 @@ import numpy as np
 from lpformer_tpu.graph.containers import CSRGraph, PaddedRows
 from lpformer_tpu.ops.search import row_lookup
 
-_NOT_FOUND = jnp.int32(-2)   # distinct from the -1 "no rank" padding
+# distinct from the -1 "no rank" padding. A plain int, NOT jnp.int32:
+# a module-level device constant would initialize the XLA backend at
+# import time, which breaks jax.distributed.initialize (multi-host
+# bring-up must precede any backend-touching call).
+_NOT_FOUND = -2
 
 
 def train_edge_info(
