@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference's per-dataset choice, run.py:102-120; "
                         "an explicit value wins)")
     p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--checkpoint-dir", type=str, default="checkpoints",
+                   help="root directory for checkpoint save/load "
+                        "(reference hard-codes 'checkpoints/', "
+                        "utils.py:25)")
     p.add_argument("--eps", type=float, default=1e-4)
     p.add_argument("--thresh-cn", type=float, default=0)
     p.add_argument("--thresh-1hop", type=float, default=1e-2)
@@ -304,6 +308,7 @@ def main(argv=None):
         heart=args.heart,
         mask_input=args.mask_input,
         save_as=args.save_as,
+        checkpoint_dir=args.checkpoint_dir,
         verbose=not args.non_verbose,
         data_name=args.data_name,
         double_propagate=(True if args.double_propagate
@@ -331,7 +336,7 @@ def _dump_attention(args, cfg, ds):
     from lpformer_tpu.utils import checkpoint as ckpt
 
     path = os.path.join(
-        "checkpoints", args.data_name,
+        args.checkpoint_dir, args.data_name,
         args.save_as + ("_seed-1" if args.runs > 1 else "") + ".ckpt",
     )
     state = ckpt.load_checkpoint(path)
@@ -350,24 +355,48 @@ def _dump_attention(args, cfg, ds):
 
 
 def eval_checkpoint(args, cfg, ds):
-    """Checkpoint-only evaluation (reference run.py:17-87)."""
-    from lpformer_tpu.train.trainer import run_eval, TrainArgs
+    """Checkpoint-only evaluation (reference run.py:17-87).
+
+    Honors ``--mesh`` / ``--context-parallel``: citation2-scale
+    checkpoint evaluation (the imported-reference-checkpoint story) runs
+    through the same row-sharded mesh scorer as training, so it is not
+    limited to what fits one chip."""
+    from lpformer_tpu.train.trainer import run_eval, TrainArgs, parse_mesh
     from lpformer_tpu.utils import checkpoint as ckpt
 
     targs = TrainArgs(
         test_batch_size=args.test_batch_size, metric=args.metric,
         heart=args.heart, data_name=args.data_name,
+        checkpoint_dir=args.checkpoint_dir,
     )
+    eval_ctx = None
+    if args.mesh:
+        import jax
+
+        from lpformer_tpu.parallel import make_mesh
+        from lpformer_tpu.parallel.eval import ShardedEvalContext
+
+        d, g = parse_mesh(args.mesh)
+        link_dev = d if args.context_parallel else d * g
+        assert args.test_batch_size % link_dev == 0, (
+            f"test_batch_size {args.test_batch_size} must divide over "
+            f"{link_dev} link-sharding devices"
+        )
+        mesh = make_mesh(data=d, graph=g, devices=jax.devices()[: d * g])
+        eval_ctx = ShardedEvalContext(
+            cfg, mesh, ds, context_parallel=args.context_parallel
+        )
     results = []
     for run in range(1, args.runs + 1):
         suffix = f"_seed-{run}" if args.runs > 1 else ""
         path = os.path.join(
-            "checkpoints", args.data_name, args.checkpoint + suffix + ".ckpt"
+            args.checkpoint_dir, args.data_name,
+            args.checkpoint + suffix + ".ckpt",
         )
         state = ckpt.load_checkpoint(path)
         if state is None:
             raise FileNotFoundError(path)
-        r = run_eval(state["params"], cfg, ds, targs)
+        r = run_eval(state["params"], cfg, ds, targs, sharded=eval_ctx)
         print(f">>> Seed={run}")
         for k, v in r.items():
             print(f"  {k} = {v}")
