@@ -205,6 +205,36 @@ def build_config(args, ds):
 
     adj_cap = ds.graph.adj_rows.cap
     ppr_cap = ds.graph.ppr_rows.cap
+    budgets = (args.budget_cn, args.budget_onehop, args.budget_non1hop)
+    if any(b is None for b in budgets):
+        # measure instead of guessing: p99.9 of exact per-class context
+        # counts over sampled train links (scripts/audit_budgets.py
+        # logic, applied by default so a real-data run can't silently
+        # truncate). Explicit --budget-* flags always win per class.
+        from lpformer_tpu.utils.budgets import derive_budgets
+
+        derived = derive_budgets(
+            ds, args.thresh_cn, args.thresh_1hop, args.thresh_non1hop
+        )
+        if derived is not None:
+            budgets = tuple(
+                b if b is not None else d for b, d in zip(budgets, derived)
+            )
+            if not args.non_verbose:
+                print(
+                    f"[budgets] measured for {ds.name}: "
+                    f"cn={budgets[0]} onehop={budgets[1]} "
+                    f"non1hop={budgets[2]} (p99.9 of sampled exact "
+                    f"counts; override with --budget-*)",
+                    flush=True,
+                )
+        else:
+            # no CPU backend: fall back to the row-cap heuristics
+            budgets = (
+                budgets[0] or adj_cap,
+                budgets[1] or 2 * adj_cap,
+                budgets[2] or ppr_cap,
+            )
     return LPFormerConfig(
         dim=args.dim,
         num_heads=args.num_heads,
@@ -222,9 +252,9 @@ def build_config(args, ds):
         att_drop=args.att_drop,
         feat_drop=args.feat_drop,
         pred_drop=args.pred_drop,
-        budget_cn=args.budget_cn or adj_cap,
-        budget_onehop=args.budget_onehop or 2 * adj_cap,
-        budget_non1hop=args.budget_non1hop or ppr_cap,
+        budget_cn=budgets[0],
+        budget_onehop=budgets[1],
+        budget_non1hop=budgets[2],
         use_pallas_attention=args.pallas_attention,
         matmul_dtype=args.matmul_dtype,
     )
