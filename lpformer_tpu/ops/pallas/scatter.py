@@ -11,14 +11,25 @@ context node features per link).
 TPU-native replacement: sort the rows by destination id (cheap bitonic
 sort + one fast gather to permute the cotangent), partition the id space
 into tiles of ``T`` ids, and walk a worklist of (tile, row-chunk) pairs
-— sortedness makes each tile's rows a contiguous chunk range, so the
-worklist has at most ``nchunks + ntiles`` entries. Each step builds a
-one-hot membership matrix [T, R] on the VPU (compare-all against the
-tile's local iota — out-of-tile and sentinel rows simply never match)
-and accumulates ``onehot @ ct_chunk`` on the MXU into a VMEM accumulator,
-written once per tile (scratch + final write; accumulating into the
-output block relayouts badly in Mosaic). The random-access scatter
-becomes sequential streams + dense matmuls.
+— sortedness makes each tile's rows a contiguous chunk range. Each step
+builds a one-hot membership matrix [T, R] on the VPU (compare-all
+against the tile's local iota — out-of-tile and sentinel rows simply
+never match) and accumulates ``onehot @ ct_chunk`` on the MXU into a
+VMEM accumulator, written once per tile (scratch + final write;
+accumulating into the output block relayouts badly in Mosaic). The
+random-access scatter becomes sequential streams + dense matmuls.
+
+SEGMENTED layout (round 4): a single global sort makes the cotangent
+permutation a random gather over the FULL [M, D] footprint — at
+M=1.31M x 128 bf16 that is a 336 MB window, where the gather engine
+runs ~6x below its small-footprint rate (bench --gather; this permute
+was 20.5% of the whole train step in the r4 op profile). Sorting
+independently within segments of ``seg_rows`` rows keeps every
+permutation access inside a <=16 MB window (the measured fast-rate
+region) and turns the global sort into a cheaper batched per-segment
+sort. Each tile then owns up to one chunk-range per segment instead of
+one global range — the worklist grows by <= ntiles*(nseg-1) no-op-free
+entries and the kernel itself is unchanged.
 
 The worklist (tile id per step, chunk id per step) rides the scalar-
 prefetch path so block index_maps can follow data-dependent chunk
@@ -57,53 +68,91 @@ def _kernel(wt_ref, wc_ref, ids_blk, ct_blk, out_blk, acc_ref):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n", "tile", "chunk", "interpret")
+    jax.jit, static_argnames=("n", "tile", "chunk", "seg_rows", "interpret")
 )
-def _scatter_sorted(ids, ct, n, tile, chunk, interpret):
+def _scatter_sorted(ids, ct, n, tile, chunk, seg_rows, interpret):
     m, d = ct.shape
-    nchunks = -(-m // chunk)
     ntiles = -(-n // tile)
     sentinel = ntiles * tile
 
-    # sort rows by destination id; sentinel-pad to whole chunks plus one
-    # extra all-sentinel chunk: the no-op target for padded worklist
-    # entries and for tiles whose id range holds no rows
-    ids_s, perm = jax.lax.sort([ids.astype(jnp.int32),
-                                jnp.arange(m, dtype=jnp.int32)], num_keys=1)
-    pad = nchunks * chunk - m
+    # --- segmented sort + within-segment permute ---
+    # seg_rows must be a multiple of chunk so segment chunk boundaries
+    # line up with the kernel's block grid
+    seg_rows = max(chunk, (seg_rows // chunk) * chunk)
+    nseg = max(1, -(-m // seg_rows))
+    m_pad = nseg * seg_rows
     ids_p = jnp.concatenate(
-        [ids_s, jnp.full((pad,), sentinel, jnp.int32)])
-    # [nchunks+1, 1, chunk]: the trailing (1, chunk) pair equals the
-    # array's own last two dims, which Mosaic accepts as a block shape
-    # (a flat (1, chunk) block fails the 8-sublane divisibility rule)
+        [ids.astype(jnp.int32),
+         jnp.full((m_pad - m,), sentinel, jnp.int32)]
+    ).reshape(nseg, seg_rows)
+    iota = jnp.broadcast_to(
+        jnp.arange(seg_rows, dtype=jnp.int32)[None, :], (nseg, seg_rows)
+    )
+    # batched sort: each segment sorted independently along the last axis
+    ids_s, perm_local = jax.lax.sort([ids_p, iota], num_keys=1)
+    # permute the cotangent WITHIN each 16 MB segment window: the gather
+    # walks segment-by-segment, so its working set stays in the gather
+    # engine's fast-rate region (vs one global-footprint permutation)
+    ct_seg = jnp.concatenate(
+        [ct, jnp.zeros((m_pad - m, d), ct.dtype)]
+    ).reshape(nseg, seg_rows, d)
+    ct_s = jnp.take_along_axis(ct_seg, perm_local[:, :, None], axis=1)
+
+    # chunked streams + one trailing all-sentinel chunk (the no-op
+    # target for padded worklist entries and empty (tile, seg) pairs)
+    nchunks = m_pad // chunk
     ids2d = jnp.concatenate(
-        [ids_p, jnp.full((chunk,), sentinel, jnp.int32)]
+        [ids_s.reshape(-1), jnp.full((chunk,), sentinel, jnp.int32)]
     ).reshape(nchunks + 1, 1, chunk)
-    # pad the PERMUTATION, not the gathered rows: one gather produces the
-    # padded chunk layout directly (pad rows re-read row 0 but carry
-    # sentinel ids, so they never match a tile) — avoids a second full
-    # copy of the cotangent
-    perm_p = jnp.concatenate(
-        [perm, jnp.zeros((pad + chunk,), jnp.int32)])
-    ct2d = jnp.take(ct, perm_p, axis=0).reshape(nchunks + 1, chunk, d)
+    ct2d = jnp.concatenate(
+        [ct_s.reshape(-1, d), jnp.zeros((chunk, d), ct.dtype)]
+    ).reshape(nchunks + 1, chunk, d)
 
-    # per-tile sorted-row ranges -> contiguous chunk ranges
+    # per-(segment, tile) sorted-row ranges -> contiguous chunk ranges
     bounds = jnp.arange(ntiles + 1, dtype=jnp.int32) * tile
-    starts = jnp.searchsorted(ids_p, bounds, side="left").astype(jnp.int32)
-    s, e = starts[:-1], starts[1:]
+    starts = jax.vmap(
+        lambda row: jnp.searchsorted(row, bounds, side="left")
+    )(ids_s).astype(jnp.int32)                      # [nseg, ntiles+1]
+    seg_off = (jnp.arange(nseg, dtype=jnp.int32) * seg_rows)[:, None]
+    s = starts[:, :-1] + seg_off                    # global row starts
+    e = starts[:, 1:] + seg_off
     nonempty = e > s
-    c_lo = jnp.where(nonempty, s // chunk, nchunks)
-    n_t = jnp.where(nonempty, -(-e // chunk) - s // chunk, 1)
-    offs = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(n_t).astype(jnp.int32)])
+    c_lo = jnp.where(nonempty, s // chunk, nchunks)     # [nseg, ntiles]
+    n_t = jnp.where(nonempty, -(-e // chunk) - s // chunk, 0)
+    # ensure every tile has >= 1 step so its output block gets written
+    # (route the extra step to the sentinel chunk via c_lo=nchunks)
+    first_empty = (n_t.sum(axis=0) == 0)
+    n_t = n_t.at[0].set(jnp.where(first_empty, 1, n_t[0]))
+    c_lo = c_lo.at[0].set(jnp.where(first_empty, nchunks, c_lo[0]))
 
-    nsteps = nchunks + ntiles  # static bound on sum(n_t)
+    # tile-major worklist: for tile t, all segments' chunk ranges
+    n_tile = n_t.sum(axis=0)                        # [ntiles]
+    offs = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(n_tile).astype(jnp.int32)])
+    # within a tile, segment sub-offsets
+    seg_offs = jnp.cumsum(n_t, axis=0).astype(jnp.int32)  # inclusive
+    seg_offs = jnp.concatenate(
+        [jnp.zeros((1, ntiles), jnp.int32), seg_offs[:-1]], axis=0
+    )
+
+    # worst case: every chunk appears once, plus per (tile, seg) one
+    # boundary chunk, plus per tile the write-guarantee step
+    nsteps = nchunks + ntiles * nseg + ntiles
     wids = jnp.arange(nsteps, dtype=jnp.int32)
     t_of = (jnp.searchsorted(offs[1:], wids, side="right")
             .astype(jnp.int32))
     live = wids < offs[-1]
     t_of = jnp.where(live, jnp.minimum(t_of, ntiles - 1), ntiles - 1)
-    c_of = jnp.where(live, c_lo[t_of] + (wids - offs[t_of]), nchunks)
+    # position within the tile's steps -> (segment, chunk)
+    pos = wids - offs[t_of]                          # [nsteps]
+    s_of = jax.vmap(
+        lambda p, t: jnp.searchsorted(
+            seg_offs[:, t], p, side="right"
+        ).astype(jnp.int32) - 1
+    )(pos, t_of)
+    c_of = c_lo[s_of, t_of] + (pos - seg_offs[s_of, t_of])
+    c_of = jnp.where(live, c_of, nchunks)
     # wt[0] / wt[-1] sentinels make the first/last steps open/flush
     wt = jnp.concatenate([jnp.full((1,), -1, jnp.int32), t_of,
                           jnp.full((1,), -2, jnp.int32)])
@@ -137,11 +186,18 @@ def scatter_rows_add(
     n: int,
     tile: int = 512,
     chunk: int = 512,
+    seg_rows: int = 131072,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """sum ct rows into their ids: out [n, D] f32; ids any shape, ct
-    ``ids.shape + (D,)``. D must be a multiple of 128 (lane width)."""
+    ``ids.shape + (D,)``. D must be a multiple of 128 (lane width).
+    ``seg_rows``: permutation-locality window (rows). Measured on v5e
+    at the collab-like VJP shape (m=1.31M, d=128, bf16), chained
+    standalone calls: single segment 354.9 ms vs 27.9 ms at
+    seg_rows=131072 (33 MB windows), 31.2 ms at 65536, 29.6 ms at
+    32768 (scripts/scatter_ab.py) — the permutation gather's footprint
+    is the whole game, and ~33 MB still rides the fast-rate region."""
     d = ct.shape[-1]
     ids = ids.reshape(-1)
     ct = ct.reshape(-1, d)
-    return _scatter_sorted(ids, ct, n, tile, chunk, interpret)
+    return _scatter_sorted(ids, ct, n, tile, chunk, seg_rows, interpret)

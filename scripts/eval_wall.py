@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Measure the citation2-scale EVAL wall on the real TPU.
+
+The reference's citation2 MRR sweep scores every positive against 1000
+shared negatives in test batches (reference: src/train/testing.py:14-47);
+at real-ogbl-citation2 scale that is ~8.6M valid + 8.6M test scored
+links per eval. VERDICT r3 asked for a measured eval ms/batch at the
+citation2-like preset and an end-to-end eval-epoch estimate — train
+throughput was benched every round, eval never was.
+
+Measures, on the citation2-like synthetic (1M nodes / 5M edges, dim 64):
+  * propagate-once wall (the single full-graph GCN, reused per sweep)
+  * score ms/batch for B=32768 links via the grouped-scan scorer
+  * -> links/s and an end-to-end estimate for the REAL ogbl-citation2
+    eval epoch (86k valid pos x (1 + 1000 negs) + same for test + 86k
+    train_pos_val), per reference semantics.
+
+Writes eval_wall.json. Usage: python scripts/eval_wall.py [--batch 32768]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32768)
+    ap.add_argument("--groups", type=int, default=4,
+                    help="EVAL_GROUP-batch launches to time")
+    ap.add_argument("--out", type=str, default="eval_wall.json")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bench import PRESETS
+    from lpformer_tpu.data.synthetic import synthetic_dataset
+    from lpformer_tpu.evalx import harness
+    from lpformer_tpu.models import LPFormerConfig, init_lpformer
+
+    p = PRESETS["citation2-like"]
+    t0 = time.time()
+    ds = synthetic_dataset(
+        seed=0, num_nodes=p["nodes"], num_train=p["edges"], num_eval=1000,
+        feat_dim=p["feat"], eps=5e-4, adj_cap=96, ppr_cap=256,
+        ppr_cache_dir=".synth_cache",
+    )
+    print(f"[eval-wall] dataset built in {time.time()-t0:.1f}s",
+          file=sys.stderr, flush=True)
+    cfg = LPFormerConfig(
+        dim=p["dim"], gnn_layers=p["gnn_layers"],
+        budget_cn=p["budgets"][0], budget_onehop=p["budgets"][1],
+        budget_non1hop=p["budgets"][2], matmul_dtype="bfloat16",
+    )
+    params = init_lpformer(jax.random.PRNGKey(0), cfg, in_dim=p["feat"])
+
+    # --- propagate once (the full-graph GCN reused across the sweep) ---
+    prop = harness._propagate_fn(cfg)
+    t0 = time.time()
+    X = prop(params, ds.graph)
+    float(X[0, 0])  # true sync through the tunnel
+    compile_prop = time.time() - t0
+    t0 = time.perf_counter()
+    X = prop(params, ds.graph)
+    float(X[0, 0])
+    prop_ms = (time.perf_counter() - t0) * 1e3
+    print(f"[eval-wall] propagate-once {prop_ms:.1f} ms "
+          f"(first call {compile_prop:.1f}s)", file=sys.stderr, flush=True)
+
+    # --- grouped-scan scoring ---
+    group = harness._score_group_fn(cfg)
+    b = args.batch
+    rng = np.random.default_rng(0)
+    srcs = jnp.asarray(
+        rng.integers(0, ds.num_nodes,
+                     (harness.EVAL_GROUP, b)).astype(np.int32))
+    tgts = jnp.asarray(
+        rng.integers(0, ds.num_nodes,
+                     (harness.EVAL_GROUP, b)).astype(np.int32))
+    t0 = time.time()
+    out = group(params, ds.graph, X, srcs, tgts)
+    float(out.sum())
+    compile_score = time.time() - t0
+    t0 = time.perf_counter()
+    acc = out
+    for _ in range(args.groups):
+        salt = (acc[0, 0] > 1e30).astype(jnp.int32)
+        acc = group(params, ds.graph, X, srcs + salt, tgts)
+    float(acc.sum())
+    group_ms = (time.perf_counter() - t0) / args.groups * 1e3
+    batch_ms = group_ms / harness.EVAL_GROUP
+    links_per_s = b / (batch_ms / 1e3)
+    print(f"[eval-wall] score: {group_ms:.1f} ms per "
+          f"{harness.EVAL_GROUP}-batch launch = {batch_ms:.2f} ms/batch "
+          f"({links_per_s:,.0f} links/s)", flush=True)
+
+    # --- real-citation2 eval-epoch estimate (reference semantics) ---
+    # valid: 86,596 pos x (1 + 1000 shared-per-pos negs); test: 86,596;
+    # train_pos_val sized like valid (ogbl-citation2 split sizes)
+    n_pos = 86_596
+    scored_links = 3 * n_pos + 2 * n_pos * 1000
+    eval_s = scored_links / links_per_s + 2 * prop_ms / 1e3
+    print(f"[eval-wall] real-citation2 eval epoch estimate: "
+          f"{scored_links/1e6:.1f}M scored links -> {eval_s:.1f}s",
+          flush=True)
+
+    artifact = {
+        "preset": "citation2-like",
+        "batch": b,
+        "eval_group": harness.EVAL_GROUP,
+        "propagate_ms": round(prop_ms, 2),
+        "score_ms_per_batch": round(batch_ms, 3),
+        "score_links_per_s": round(links_per_s, 1),
+        "real_citation2_scored_links": scored_links,
+        "real_citation2_eval_epoch_s": round(eval_s, 2),
+        "compile_s": {"propagate": round(compile_prop, 1),
+                      "score": round(compile_score, 1)},
+    }
+    with open(args.out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(json.dumps({"metric": "eval_links_per_s", "value":
+                      round(links_per_s, 1), "unit": "links/s"}))
+
+
+if __name__ == "__main__":
+    main()

@@ -28,13 +28,21 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--nodes", type=int, default=2500)
-    ap.add_argument("--edges", type=int, default=15000)
+    ap.add_argument("--nodes", type=int, default=4000)
+    ap.add_argument("--edges", type=int, default=32000)
     ap.add_argument("--power", type=float, default=1.2)
     ap.add_argument("--eps", type=float, default=5e-4)
-    ap.add_argument("--epochs", type=int, default=12)
-    ap.add_argument("--runs", type=int, default=2)
-    ap.add_argument("--scales", type=str, default="0.25,0.5,1.0,1.5,2.0")
+    ap.add_argument("--epochs", type=int, default=16)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--communities", type=int, default=80,
+                    help="planted-partition communities (0 = the old "
+                         "pure power-law graph). Intra-community "
+                         "positives make link structure learnable, so "
+                         "the base MRR is high enough to DETECT "
+                         "truncation damage (VERDICT r3 weak #4)")
+    ap.add_argument("--intra", type=float, default=0.85)
+    ap.add_argument("--scales", type=str,
+                    default="0.125,0.25,0.5,1.0,1.5,2.0")
     ap.add_argument("--out", type=str, default="overflow_study.json")
     args = ap.parse_args()
 
@@ -60,8 +68,9 @@ def main():
     # measured downstream of these caps, exactly as in production.
     ds = synthetic_dataset(
         seed=0, num_nodes=args.nodes, num_train=args.edges,
-        num_eval=256, feat_dim=16, eps=args.eps, power=args.power,
+        num_eval=512, feat_dim=16, eps=args.eps, power=args.power,
         adj_cap=512, ppr_cap=512,
+        communities=args.communities, intra_frac=args.intra,
     )
     deg = np.asarray(ds.graph.degree)
     print(f"[study] degree tail: p50={np.percentile(deg, 50):.0f} "
@@ -127,6 +136,7 @@ def main():
         "graph": {
             "nodes": args.nodes, "edges": args.edges,
             "power": args.power, "eps": args.eps,
+            "communities": args.communities, "intra_frac": args.intra,
             "degree_p99": float(np.percentile(deg, 99)),
             "degree_max": float(deg.max()),
         },

@@ -103,3 +103,26 @@ def test_pallas_scatter_2d_ids_shape():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(_scatter_ref(ids, ct, 300)),
         rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_scatter_segmented_layout():
+    """Multi-segment permutation locality (seg_rows < m): per-segment
+    sorts + per-(tile, segment) chunk ranges must reproduce the global
+    scatter exactly — incl. ragged last segment, empty tiles, hub ids
+    crossing segment boundaries, and a tile whose rows appear in every
+    segment."""
+    from lpformer_tpu.ops.pallas.scatter import scatter_rows_add
+
+    rng = np.random.default_rng(3)
+    m, n, d = 7000, 900, 128
+    ids = rng.integers(0, n, m).astype(np.int32)
+    ids[::11] = 5          # one hot id in every segment
+    ids[m - 400:] = n - 1  # tail tile, concentrated in the last segment
+    ct = rng.standard_normal((m, d)).astype(np.float32)
+    for seg_rows in (1024, 2048, 4096):
+        got = scatter_rows_add(
+            jnp.asarray(ids), jnp.asarray(ct), n,
+            tile=256, chunk=256, seg_rows=seg_rows, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(_scatter_ref(ids, ct, n)),
+            rtol=1e-4, atol=1e-3)
