@@ -27,7 +27,7 @@ from lpformer_tpu.models.config import LPFormerConfig
 from lpformer_tpu.models.gcn import gcn_apply, gcn_init
 from lpformer_tpu.nn import core as nn
 from lpformer_tpu.ops.context import ContextTables, extract_context
-from lpformer_tpu.ops.gather import gather_rows
+from lpformer_tpu.ops.gather import gather_rows, gather_rows_valid
 from lpformer_tpu.ops.segment import masked_softmax
 
 
@@ -246,7 +246,11 @@ def _project_keys(
     X_proj = jnp.concatenate(
         [X_proj, jnp.zeros((1, X_proj.shape[-1]), X_proj.dtype)], axis=0
     )
-    xj = gather_rows(X_proj, _gather_ids(ctx, n_real))    # [B, C, H*O]
+    # validity-aware gather: dead slots' zero cotangents are dropped
+    # in the scatter VJP instead of permuted+accumulated (ops/gather.py)
+    xj = gather_rows_valid(
+        X_proj, _gather_ids(ctx, n_real), ctx.valid
+    )                                                     # [B, C, H*O]
     xj = xj + _pos_encodings(params, cfg, ctx, W_fold=W[d:], out_dtype=kd)
     if "b" in lp["lin_r"]:
         xj = xj + lp["lin_r"]["b"].astype(kd)
@@ -422,8 +426,8 @@ def calc_pairwise(
                 )
                 # pad ids spread over real rows (_gather_ids): masked in
                 # the kernel, avoids single-row gather serialization
-                xj_node = gather_rows(
-                    X_proj, _gather_ids(ctx, n_real)
+                xj_node = gather_rows_valid(
+                    X_proj, _gather_ids(ctx, n_real), ctx.valid
                 )                                              # [B, C, H*O]
                 pairwise_feats_, att_weights = _att_layer_apply_pallas(
                     lp, params, cfg, feats_in, xj_node, ctx,

@@ -75,3 +75,51 @@ def _gather_bwd(res, ct):
 
 
 gather_rows.defvjp(_gather_fwd, _gather_bwd)
+
+
+@jax.custom_vjp
+def gather_rows_valid(
+    table: jnp.ndarray, ids: jnp.ndarray, valid: jnp.ndarray
+) -> jnp.ndarray:
+    """``gather_rows`` for id tables with a validity mask: invalid
+    slots' ids are spread over real rows for forward-gather speed
+    (link_transformer._gather_ids), so their cotangents — exactly zero
+    by construction — would otherwise be scatter-added to random real
+    rows in the backward. Declaring validity lets the Pallas scatter
+    DROP the dead rows: they never enqueue worklist steps and their
+    permute reads collapse to one cached row (in-step the permute is
+    4 KB-tile-read-amplification-bound, so at 70-98% dead slots this
+    is most of its cost)."""
+    return table[ids]
+
+
+def _gather_valid_fwd(table, ids, valid):
+    proto = jnp.zeros((0,), table.dtype)
+    return table[ids], (ids, valid, table.shape[0], proto)
+
+
+def _gather_valid_bwd(res, ct):
+    ids, valid, n, proto = res
+    dtype = proto.dtype
+    d = ct.shape[-1]
+    ct2 = ct.reshape(-1, d)
+    if _use_pallas_scatter(ct2.shape[0], d):
+        from lpformer_tpu.ops.pallas.scatter import scatter_rows_add
+
+        if d % 128 != 0:
+            ct2 = jnp.pad(ct2, ((0, 0), (0, 128 - d)))
+        dtable = scatter_rows_add(
+            ids.reshape(-1), ct2, n, live=valid.reshape(-1)
+        )[:, :d]
+    else:
+        # dead cotangents are exactly zero — the plain segment_sum path
+        # needs no mask
+        dtable = jax.ops.segment_sum(
+            ct2.astype(jnp.float32), ids.reshape(-1), num_segments=n,
+        )
+    f0 = jax.dtypes.float0
+    return (dtable.astype(dtype),
+            np.zeros(ids.shape, dtype=f0), np.zeros(valid.shape, dtype=f0))
+
+
+gather_rows_valid.defvjp(_gather_valid_fwd, _gather_valid_bwd)

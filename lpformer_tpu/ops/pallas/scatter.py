@@ -68,12 +68,25 @@ def _kernel(wt_ref, wc_ref, ids_blk, ct_blk, out_blk, acc_ref):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n", "tile", "chunk", "seg_rows", "interpret")
+    jax.jit,
+    static_argnames=("n", "tile", "chunk", "seg_rows", "interpret"),
 )
-def _scatter_sorted(ids, ct, n, tile, chunk, seg_rows, interpret):
+def _scatter_sorted(ids, ct, n, tile, chunk, seg_rows, interpret,
+                    live=None):
     m, d = ct.shape
     ntiles = -(-n // tile)
     sentinel = ntiles * tile
+
+    ids = ids.astype(jnp.int32)
+    if live is not None:
+        # DEAD rows (cotangents of invalid context slots — exactly zero
+        # by construction, and their ids are spread over real rows for
+        # forward-gather speed, link_transformer._gather_ids): remap to
+        # the sort sentinel so they cluster at segment tails, never
+        # enqueue worklist steps, and their permute reads collapse to
+        # the cached row 0. At 70-98% dead slots this removes most of
+        # the permute's 4 KB-tile read amplification.
+        ids = jnp.where(live.reshape(-1), ids, sentinel)
 
     # --- segmented sort + within-segment permute ---
     # seg_rows must be a multiple of chunk so segment chunk boundaries
@@ -82,31 +95,58 @@ def _scatter_sorted(ids, ct, n, tile, chunk, seg_rows, interpret):
     nseg = max(1, -(-m // seg_rows))
     m_pad = nseg * seg_rows
     ids_p = jnp.concatenate(
-        [ids.astype(jnp.int32),
-         jnp.full((m_pad - m,), sentinel, jnp.int32)]
+        [ids, jnp.full((m_pad - m,), sentinel, jnp.int32)]
     ).reshape(nseg, seg_rows)
     iota = jnp.broadcast_to(
         jnp.arange(seg_rows, dtype=jnp.int32)[None, :], (nseg, seg_rows)
     )
     # batched sort: each segment sorted independently along the last axis
     ids_s, perm_local = jax.lax.sort([ids_p, iota], num_keys=1)
-    # permute the cotangent WITHIN each 16 MB segment window: the gather
-    # walks segment-by-segment, so its working set stays in the gather
-    # engine's fast-rate region (vs one global-footprint permutation)
-    ct_seg = jnp.concatenate(
-        [ct, jnp.zeros((m_pad - m, d), ct.dtype)]
-    ).reshape(nseg, seg_rows, d)
-    ct_s = jnp.take_along_axis(ct_seg, perm_local[:, :, None], axis=1)
-
-    # chunked streams + one trailing all-sentinel chunk (the no-op
-    # target for padded worklist entries and empty (tile, seg) pairs)
+    # permute the cotangent WITHIN each segment window via ONE flat 2D
+    # row gather (global indices = seg offset + local perm): the gather
+    # walks segment-by-segment so its working set stays in the gather
+    # engine's fast-rate region, AND it keeps the plain-2D lowering —
+    # a batched take_along_axis falls off the fast row-gather path
+    # (measured in-step: 17 ms vs 7.35 ms for the global 2D permute).
+    # Pad the PERMUTATION, not the cotangent: pad/sentinel positions
+    # clamp to row 0 whose ids never match a tile, so no zero-padded
+    # copy of ct is ever materialized.
+    # Permute via PER-SEGMENT static-shape takes. The TPU row-gather's
+    # rate is set by the STATIC operand size, not the dynamic access
+    # pattern: in-step, gathering 1.31M bf16[*,128] rows ran at
+    # 542 Mrows/s from a [50k] table but 178 Mrows/s from the [1.31M]
+    # cotangent — even when 98% of indices pointed into one cached 1 MB
+    # window. Slicing the cotangent into [seg_rows] operands (static
+    # shapes + optimization_barrier so XLA cannot re-fuse them into one
+    # big-operand gather — the BlockedCOO lesson, ops/spmm.py) keeps
+    # every take in the fast-mode regime. Out-of-segment positions
+    # (tail pads, dead rows) read a cycling 4096-row window: one fixed
+    # row would serialize the engine (measured 16.5 ms), and their
+    # sorted ids are the sentinel which no tile ever matches.
+    alive = ((perm_local + (jnp.arange(nseg, dtype=jnp.int32)
+                            * seg_rows)[:, None]) < m) & (ids_s < sentinel)
+    cyc = jax.lax.broadcasted_iota(
+        jnp.int32, (nseg, seg_rows), 1)
+    perm_seg = jnp.where(alive, perm_local, cyc % min(seg_rows, 4096))
     nchunks = m_pad // chunk
+    outs = []
+    for i in range(nseg):
+        lo = i * seg_rows
+        width = min(seg_rows, m - lo)
+        part = jax.lax.dynamic_slice_in_dim(ct, lo, width, 0)
+        if width < seg_rows:
+            part = jnp.concatenate(
+                [part, jnp.zeros((seg_rows - width, d), ct.dtype)], 0
+            )
+        part = jax.lax.optimization_barrier(part)
+        outs.append(jnp.take(part, perm_seg[i], axis=0))
+    outs.append(jnp.zeros((chunk, d), ct.dtype))  # sentinel chunk
+    ct2d = jnp.concatenate(outs, axis=0).reshape(nchunks + 1, chunk, d)
+    # chunked id streams + one trailing all-sentinel chunk (the no-op
+    # target for padded worklist entries and empty (tile, seg) pairs)
     ids2d = jnp.concatenate(
         [ids_s.reshape(-1), jnp.full((chunk,), sentinel, jnp.int32)]
     ).reshape(nchunks + 1, 1, chunk)
-    ct2d = jnp.concatenate(
-        [ct_s.reshape(-1, d), jnp.zeros((chunk, d), ct.dtype)]
-    ).reshape(nchunks + 1, chunk, d)
 
     # per-(segment, tile) sorted-row ranges -> contiguous chunk ranges
     bounds = jnp.arange(ntiles + 1, dtype=jnp.int32) * tile
@@ -188,16 +228,24 @@ def scatter_rows_add(
     chunk: int = 512,
     seg_rows: int = 131072,
     interpret: bool = False,
+    live: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """sum ct rows into their ids: out [n, D] f32; ids any shape, ct
     ``ids.shape + (D,)``. D must be a multiple of 128 (lane width).
+
     ``seg_rows``: permutation-locality window (rows). Measured on v5e
     at the collab-like VJP shape (m=1.31M, d=128, bf16), chained
-    standalone calls: single segment 354.9 ms vs 27.9 ms at
-    seg_rows=131072 (33 MB windows), 31.2 ms at 65536, 29.6 ms at
-    32768 (scripts/scatter_ab.py) — the permutation gather's footprint
-    is the whole game, and ~33 MB still rides the fast-rate region."""
+    standalone calls with fully-live uniform ids: single segment
+    354.9 ms vs 27.9 ms at seg_rows=131072 (scripts/scatter_ab.py).
+
+    ``live``: optional bool mask (ids.shape). Rows with live=False are
+    DROPPED — their values must be irrelevant to the caller (in the
+    gather VJP they are exactly-zero cotangents of invalid context
+    slots). In-step the permute is bound by 4 KB-tile read
+    amplification (1.31M bf16 row reads drag ~5.4 GB), so dropping the
+    70-98% dead rows is the dominant win."""
     d = ct.shape[-1]
     ids = ids.reshape(-1)
     ct = ct.reshape(-1, d)
-    return _scatter_sorted(ids, ct, n, tile, chunk, seg_rows, interpret)
+    return _scatter_sorted(ids, ct, n, tile, chunk, seg_rows, interpret,
+                           live=live)

@@ -126,3 +126,49 @@ def test_pallas_scatter_segmented_layout():
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(_scatter_ref(ids, ct, n)),
             rtol=1e-4, atol=1e-3)
+
+
+def test_pallas_scatter_live_mask_drops_dead_rows():
+    """live=False rows must not contribute — even when they carry
+    NONZERO values and real ids (the production contract: invalid
+    context slots have spread real ids but zero cotangents; the mask
+    makes dropping robust to either)."""
+    from lpformer_tpu.ops.pallas.scatter import scatter_rows_add
+
+    rng = np.random.default_rng(5)
+    m, n = 6000, 700
+    ids = rng.integers(0, n, m).astype(np.int32)
+    ct = rng.standard_normal((m, 128)).astype(np.float32)
+    live = rng.random(m) < 0.25
+    got = scatter_rows_add(
+        jnp.asarray(ids), jnp.asarray(ct), n,
+        tile=256, chunk=256, seg_rows=2048,
+        live=jnp.asarray(live), interpret=True)
+    ref = _scatter_ref(np.where(live, ids, 0),
+                       ct * live[:, None].astype(np.float32), n)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_gather_rows_valid_grad_matches_masked_gather():
+    """End-to-end: d/dtable of a validity-masked gather equals the
+    dense masked reference, on the non-Pallas (CPU) path and via the
+    same code the model calls."""
+    from lpformer_tpu.ops.gather import gather_rows_valid
+
+    rng = np.random.default_rng(6)
+    n, d, b, c = 50, 128, 8, 12
+    table = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, n, (b, c)).astype(np.int32))
+    valid = jnp.asarray(rng.random((b, c)) < 0.4)
+    t = jnp.asarray(rng.standard_normal((b, c, d)).astype(np.float32))
+    # cotangent is masked by valid downstream, as in the attention path
+    g = jax.grad(
+        lambda tb: (gather_rows_valid(tb, ids, valid)
+                    * t * valid[..., None]).sum()
+    )(table)
+    g_ref = jax.grad(
+        lambda tb: (tb[ids] * t * valid[..., None]).sum()
+    )(table)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-5)
