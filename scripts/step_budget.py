@@ -45,27 +45,37 @@ def shape_bytes(shape: str) -> int:
     return n * DTYPE_BYTES.get(dt, 4)
 
 
-def categorize(base: str, shape: str, long_name: str) -> str:
-    if "fused_pe_link_attention" in base:
+def categorize(base: str, shape: str, tf_op: str) -> str:
+    """Category from the XLA op's source path (tf_op) first — shape
+    patterns only as fallback."""
+    if "fused_pe_link_attention" in base or "fused_pe_link_attention" in tf_op:
         return "attention-kernel (Pallas fwd/bwd)"
-    if "scatter_sorted" in base:
-        return "scatter-kernel (Pallas, gather VJP)"
-    if base == "sort":
-        return "sorts (gather-VJP segmented sort + extraction top-k)"
-    if re.match(r"(bf16|f32)\[13\d{5},", shape) or re.match(
-            r"(bf16|f32)\[1[0-9]{6},", shape):
-        return "context gather/permute (1.3M rows)"
-    if re.search(r"\[4096,\d+,[234]\]", shape) or re.search(
-            r"\[4096,(96|192|256|320|64|128|32)\]", shape):
+    if "_scatter_sorted" in tf_op or "scatter_sorted" in base:
+        if "sort" in base or "/sort" in tf_op:
+            return "gather-VJP: segmented sort"
+        if "_take" in tf_op or "gather" in tf_op or "dynamic-update" in base:
+            return "gather-VJP: cotangent permute"
+        if base.startswith("transpose_jvp"):
+            return "gather-VJP: Pallas scatter kernel"
+        return "gather-VJP: layout/worklist"
+    if "gather_rows" in tf_op or re.match(r"(bf16|f32)\[131\d{4},", shape):
+        return "context key gather (fwd)"
+    if "_spmm" in tf_op or "gcn" in tf_op:
+        return "SpMM (GCN propagation fwd+bwd)"
+    if "extract_context" in tf_op or "compute_node_mask" in tf_op:
         return "context extraction (compare-all, PE tables)"
-    if re.search(r"pred\[\d{6,},128\]", shape):
+    if base == "sort":
+        return "sorts (extraction top-k)"
+    if re.search(r"\[4096,\d+,[234]\]", shape) or re.search(
+            r"pred\[\d{6,},128\]", shape) or re.search(
+            r"pred\[4096,", shape):
         return "context extraction (compare-all, PE tables)"
     if re.search(r"bf16\[(1[0-7]\d{4}|[2-9]\d{4}),128\]", shape):
-        return "SpMM ELL bucket gathers"
+        return "SpMM (GCN propagation fwd+bwd)"
     if "dynamic-update-slice" in base or base == "while":
-        return "SpMM assembly (update-slice / loops)"
+        return "SpMM (GCN propagation fwd+bwd)"
     if re.search(r"f32\[50000", shape) or re.search(r"f32\[49\d{3}", shape):
-        return "SpMM segment sums / node-table ops"
+        return "SpMM (GCN propagation fwd+bwd)"
     return "other (MLPs, LayerNorm, optimizer, loss)"
 
 
@@ -106,7 +116,7 @@ def main():
         m = re.match(r"%\S+ = \(?([a-z0-9]+\[[0-9,]*\])", ln)
         shape = m.group(1) if m else "?"
         base = re.sub(r"\.\d+$", "", e["name"])
-        c = categorize(base, shape, ln)
+        c = categorize(base, shape, str(e.get("args", {}).get("tf_op") or ""))
         cat[c][0] += e["dur"]
         cat[c][1] += 1
         cat[c][2] += shape_bytes(shape)
