@@ -131,6 +131,10 @@ def main():
     ap.add_argument("--f32", dest="bf16", action="store_false",
                     help="full-f32 A/B variant")
     ap.add_argument("--details-out", type=str, default="bench_details.json")
+    ap.add_argument("--profile", type=str, default=None,
+                    help="also write a jax.profiler trace of the timed "
+                         "step to this directory (compile-cache-friendly "
+                         "alternative to scripts/profile_step.py)")
     args = ap.parse_args()
 
     budgets = (64, 128, 128)
@@ -145,14 +149,23 @@ def main():
         if args.grad_accum is None:
             args.grad_accum = p.get("accum", 1)
 
-    if args.smoke:
-        import os
+    import os
 
+    if args.smoke:
         os.environ["JAX_PLATFORMS"] = "cpu"
         args.nodes, args.edges = 500, 2500
         args.feat = args.dim = 32
         args.batch, args.naive_batch = 256, 64
         budgets, gnn_layers = (16, 32, 32), 1
+
+    # persistent XLA compile cache: plain-XLA compiles through the axon
+    # tunnel cost 140 s - 25 min per new program; a repeat bench at the
+    # same HEAD should pay none of it
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"),
+    )
 
     import jax
 
@@ -263,6 +276,18 @@ def main():
         file=sys.stderr,
     )
     links_per_s = args.batch / dt
+
+    if args.profile:
+        # trace the ALREADY-COMPILED step (reuses the persistent compile
+        # cache — profiling big presets costs seconds, not a recompile);
+        # analyze with scripts/step_budget.py --trace <dir>
+        state_p = step_args[0]
+        with jax.profiler.trace(args.profile):
+            for _ in range(3):
+                state_p, loss_p = step(state_p, *step_args[1:])
+            float(loss_p.sum())
+        print(f"[bench] profile trace written to {args.profile}",
+              file=sys.stderr)
 
     vs_baseline = 1.0
     if not args.skip_naive:
