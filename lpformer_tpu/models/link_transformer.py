@@ -212,10 +212,17 @@ def _gather_ids(ctx: ContextTables, num_real_rows: int) -> jnp.ndarray:
     key gather, bench --gather key_gather_spread_pad_ids). Invalid
     entries' values are exactly masked out downstream (alpha = 0 in both
     attention paths, dxj = 0 in backward), so any finite real row is
-    semantically equivalent to the zero pad row."""
+    semantically equivalent to the zero pad row.
+
+    The cycle is WINDOWED to 4096 rows (~1-2 MB of key table), not the
+    whole table: pad reads then stay in a cache-resident slice — on
+    big-table presets (citation2's [1M, dim] keys) full-table spreading
+    makes the mostly-dead gather pay big-footprint random-read cost for
+    rows whose values are discarded. 4096 distinct rows is plenty to
+    avoid the same-row serialization above."""
     b, c = ctx.ids.shape
     spread = (
-        jax.lax.iota(jnp.int32, b * c) % num_real_rows
+        jax.lax.iota(jnp.int32, b * c) % min(num_real_rows, 4096)
     ).reshape(b, c)
     return jnp.where(ctx.valid, ctx.ids, spread)
 
