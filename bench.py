@@ -86,7 +86,16 @@ def main():
     ap.add_argument("--feat", type=int, default=128)
     ap.add_argument("--dim", type=int, default=128)
     ap.add_argument("--batch", type=int, default=4096)
-    ap.add_argument("--naive-batch", type=int, default=512)
+    ap.add_argument("--naive-batch", type=int, default=512,
+                    help="batch for the naive-port baseline. 512 is its "
+                         "practical envelope, not a cherry-pick: the "
+                         "dense-row layout carries [B, N] f32 buffers "
+                         "through autograd, so B=4096 OOMs outright and "
+                         "B=1024's compile alone exceeded 20 min through "
+                         "the tunnel (timed out; r4). Its links/s barely "
+                         "moves with B anyway - the per-step cost is "
+                         "dominated by B-proportional [B, N] row algebra, "
+                         "not fixed overhead")
     ap.add_argument("--skip-naive", action="store_true")
     ap.add_argument("--pallas", dest="pallas", action="store_true",
                     default=None,
