@@ -100,3 +100,22 @@ def test_two_process_step_matches_single_process():
     # and the 2-process mesh computes the same math as one process
     ref = _single_process_losses()
     np.testing.assert_allclose(losses[0], ref, rtol=2e-5, atol=1e-6)
+
+
+def test_partial_distributed_flags_error():
+    """Incomplete coordinator flags must fail loudly before any backend
+    work, naming the missing pieces."""
+    import pytest
+
+    from lpformer_tpu.parallel import distributed as dist
+
+    with pytest.raises(ValueError, match="all three"):
+        dist.initialize(coordinator="localhost:9999")
+
+
+def test_no_flags_is_noop_single_process():
+    from lpformer_tpu.parallel import distributed as dist
+
+    assert dist.initialize() is False
+    assert dist.is_coordinator()
+    assert dist.process_count() == 1
