@@ -46,7 +46,11 @@ import jax.numpy as jnp
 
 from lpformer_tpu.graph.containers import PaddedRows
 from lpformer_tpu.ops import masking
-from lpformer_tpu.ops.search import row_contains, row_lookup, row_member_values
+from lpformer_tpu.ops.search import (
+    row_contains,
+    row_lookup_value,
+    row_member_values,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -187,13 +191,16 @@ def _compact(
     cap policy of :meth:`PaddedRows.from_csr`, so budget pressure drops
     the *least important* context nodes. The reference has no budgets
     (budget = cap is exact); counts stay exact regardless. Values ride
-    f32 lanes: node ids and both PPR values are exact for graphs with
-    N < 2^24 (all targets; ogbl-citation2 is 2.9M). Exactness REQUIRES
-    Precision.HIGHEST on the dot_general: TPU DEFAULT matmul precision
-    truncates f32 inputs to bf16 (8 mantissa bits), which rounds any
-    node id > 256 (verified on v5e: id 123456 came back 123392).
-    HIGHEST runs exact 3-way bf16 decompositions, and the lane count is
-    tiny (4), so the cost is negligible next to the [B, I, O] one-hot.
+    f32 lanes: ids+1 and both PPR values are exact for graphs with
+    N < 2^24 (all targets; ogbl-citation2 is 2.9M); the +1 folds the
+    validity lane into the id lane (empty columns reduce to 0), keeping
+    the contraction at 3 lanes — XLA lowers it to a fused VPU
+    compare+select+reduce whose cost scales with the lane count (r4
+    profiling). Exactness REQUIRES Precision.HIGHEST on the
+    dot_general: TPU DEFAULT matmul precision truncates f32 inputs to
+    bf16 (8 mantissa bits), which rounds any node id > 256 (verified on
+    v5e: id 123456 came back 123392) if XLA ever materializes this on
+    the MXU.
 
     The top-k selection avoids a full sort: ``lax.top_k`` on the score
     alone finds the row's k-th score (values only, no gather of the
@@ -224,25 +231,29 @@ def _compact(
     oh = (
         pos[:, :, None] == jnp.arange(budget, dtype=jnp.int32)[None, None, :]
     ).astype(jnp.float32)                                       # [B, I, O]
+    # 3 lanes, not 4: the validity lane is folded into ids+1 (empty
+    # columns reduce to 0, real ids come back as id+1; id+1 <= 2^24 is
+    # exact in f32 for every target graph) — the fused VPU reduce XLA
+    # emits for this contraction scales with the lane count (r4)
     stacked = jnp.stack(
         [
-            ids.astype(jnp.float32),
+            ids.astype(jnp.float32) + 1.0,
             ps.astype(jnp.float32),
             pt.astype(jnp.float32),
-            jnp.ones((b, i), jnp.float32),
         ],
         axis=-1,
-    )                                                           # [B, I, 4]
+    )                                                           # [B, I, 3]
     out = jax.lax.dot_general(
         oh, stacked, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,  # see docstring: exactness
-    )                                                           # [B, O, 4]
-    v2 = out[..., 3] > 0.5
-    ids2 = jnp.where(v2, out[..., 0].astype(jnp.int32), num_nodes)
+    )                                                           # [B, O, 3]
+    idsp1 = out[..., 0].astype(jnp.int32)
+    v2 = idsp1 > 0
+    ids2 = jnp.where(v2, idsp1 - 1, num_nodes)
     cls2 = jnp.where(v2, cls_val, 0).astype(jnp.int32)
-    ps2 = jnp.where(v2, out[..., 1], 0.0)
-    pt2 = jnp.where(v2, out[..., 2], 0.0)
+    ps2 = out[..., 1]
+    pt2 = out[..., 2]
     n_valid = jnp.sum(valid.astype(jnp.int32), axis=1)
     dropped = jnp.maximum(n_valid - budget, 0)
     return ids2, cls2, ps2, pt2, v2, dropped
@@ -288,14 +299,35 @@ def extract_context_rows(
 
     a_n = rows_s.adj_nbrs   # [B, A] neighbors of src (sorted, pad = n)
     b_n = rows_t.adj_nbrs   # [B, A] neighbors of tgt
+    all_mode = cfg.mask_mode == "all"
+    p_n = rows_s.ppr_nbrs if all_mode else None   # [B, P] ppr support of src
+
+    # Lookups against the SAME row set are batched into one compare-all
+    # call (concatenated queries, split after): the r4 trace showed the
+    # extraction wall dominated by per-op launch gaps between many small
+    # fused reduces, not by the reduces themselves.
+    def _multi(fn, rows, query_list):
+        if len(query_list) == 1:
+            return [fn(rows, query_list[0])]
+        v = fn(rows, jnp.concatenate(query_list, axis=1))
+        outs, off = [], 0
+        for q_ in query_list:
+            outs.append(v[:, off:off + q_.shape[1]])
+            off += q_.shape[1]
+        return outs
 
     # --- CN / 1-hop classification over the union (reference :232-237),
     #     with per-batch positive-edge masking in edge-rank space
     #     (reference train_model.py:38-45) ---
+    in_a_flags = all_mode and rows_s.ppr_flags is not None
+    in_a_raw = rows_s.ppr_flags if in_a_flags else None
+    in_b_raw = None
     if use_mask:
         ranks_a = rows_s.adj_ranks           # rank of edge (src, v)
         ranks_b = rows_t.adj_ranks           # rank of edge (tgt, v)
         # membership + cross-edge rank in one fused compare-all pass
+        # (not batched with the p_n membership below: the rank lanes
+        # would triple the p_n share of the reduce for nothing)
         a_in_tgt_raw, (rank_a_in_tgt,) = row_member_values(
             b_n, a_n, (ranks_b,), (jnp.int32(-1),)
         )
@@ -310,11 +342,24 @@ def extract_context_rows(
         b_in_src = b_in_src_raw & ~masking.rank_is_masked(
             mask_ranks, rank_b_in_src
         )
+        if all_mode:
+            if not in_a_flags:
+                in_a_raw = row_contains(a_n, p_n)
+            in_b_raw = row_contains(b_n, p_n)
     else:
         valid_a = a_n < n
         valid_b = b_n < n
-        a_in_tgt = row_contains(b_n, a_n)
-        b_in_src = row_contains(a_n, b_n)
+        # group by row set: [queries in N(tgt)] and [queries in N(src)]
+        bq = [a_n] + ([p_n] if all_mode else [])
+        bres = _multi(row_contains, b_n, bq)
+        a_in_tgt = bres[0]
+        if all_mode:
+            in_b_raw = bres[1]
+        aq = [b_n] + ([p_n] if all_mode and not in_a_flags else [])
+        ares = _multi(row_contains, a_n, aq)
+        b_in_src = ares[0]
+        if all_mode and not in_a_flags:
+            in_a_raw = ares[1]
 
     cn_a = valid_a & a_in_tgt                  # CNs (counted on src half)
     onehop_a = valid_a & ~a_in_tgt             # 1-hop via src only
@@ -324,17 +369,19 @@ def extract_context_rows(
     # self-side values ppr(u, N(u)) are host-precomputed on the adjacency
     # rows; only the cross values need a per-batch lookup
     def _lookup(rows: LinkRows, queries):
-        _, v = row_lookup(rows.ppr_nbrs, rows.ppr_vals, queries, 0.0)
-        return v
+        # value-only: no membership lane (absent -> 0.0, pad vals are 0)
+        return row_lookup_value(rows.ppr_nbrs, rows.ppr_vals, queries)
 
-    if rows_s.adj_vals is not None:
-        ps_a = rows_s.adj_vals
-        pt_b = rows_t.adj_vals
-    else:
-        ps_a = _lookup(rows_s, a_n)
-        pt_b = _lookup(rows_t, b_n)
-    pt_a = _lookup(rows_t, a_n)
-    ps_b = _lookup(rows_s, b_n)
+    have_self = rows_s.adj_vals is not None
+    tq = [a_n] + ([] if have_self else [b_n]) + ([p_n] if all_mode else [])
+    tres = _multi(_lookup, rows_t, tq)
+    pt_a = tres[0]
+    pt_b = rows_t.adj_vals if have_self else tres[1]
+    pt_n = tres[-1] if all_mode else None
+    sq = [b_n] + ([] if have_self else [a_n])
+    sres = _multi(_lookup, rows_s, sq)
+    ps_b = sres[0]
+    ps_a = rows_s.adj_vals if have_self else sres[1]
 
     # --- threshold filters (reference :241-250) ---
     thr_cn, thr_1h = cfg.thresh_cn, cfg.thresh_1hop
@@ -344,17 +391,11 @@ def extract_context_rows(
         onehop_b &= (ps_b >= thr_1h) & (pt_b >= thr_1h)
 
     # --- >1-hop ("all" mode only; reference get_non_1hop_ppr :434-481) ---
-    if cfg.mask_mode == "all":
-        p_n = rows_s.ppr_nbrs             # [B, P] ppr support of src
+    if all_mode:
+        # in_a_raw / in_b_raw: membership in the UNMASKED adjacency on
+        # purpose (reference NOTE at :438-441); "own support in own
+        # neighborhood" (in_a_raw) is host-precomputed when flags exist
         ps_n = rows_s.ppr_vals
-        pt_n = _lookup(rows_t, p_n)
-        # UNMASKED adjacency on purpose (reference NOTE at :438-441);
-        # "own support in own neighborhood" is host-precomputed
-        if rows_s.ppr_flags is not None:
-            in_a_raw = rows_s.ppr_flags
-        else:
-            in_a_raw = row_contains(a_n, p_n)
-        in_b_raw = row_contains(b_n, p_n)
         thr_n1 = cfg.thresh_non1hop
         non1 = (
             (p_n < n)
@@ -365,7 +406,7 @@ def extract_context_rows(
             & (pt_n >= thr_n1)
         )
     else:
-        p_n = ps_n = pt_n = non1 = None
+        ps_n = pt_n = non1 = None
 
     # --- attention dropout = context subsampling (reference :256-260) ---
     if train and cfg.att_drop > 0 and drop_rng is not None:
