@@ -325,24 +325,24 @@ def extract_context_rows(
     if use_mask:
         ranks_a = rows_s.adj_ranks           # rank of edge (src, v)
         ranks_b = rows_t.adj_ranks           # rank of edge (tgt, v)
-        # membership + cross-edge rank in one fused compare-all pass
-        # (not batched with the p_n membership below: the rank lanes
-        # would triple the p_n share of the reduce for nothing)
-        a_in_tgt_raw, (rank_a_in_tgt,) = row_member_values(
-            b_n, a_n, (ranks_b,), (jnp.int32(-1),)
-        )
-        b_in_src_raw, (rank_b_in_src,) = row_member_values(
-            a_n, b_n, (ranks_a,), (jnp.int32(-1),)
-        )
-        valid_a = (a_n < n) & ~masking.rank_is_masked(mask_ranks, ranks_a)
-        valid_b = (b_n < n) & ~masking.rank_is_masked(mask_ranks, ranks_b)
-        a_in_tgt = a_in_tgt_raw & ~masking.rank_is_masked(
-            mask_ranks, rank_a_in_tgt
-        )
-        b_in_src = b_in_src_raw & ~masking.rank_is_masked(
-            mask_ranks, rank_b_in_src
-        )
+        hit_a = masking.rank_is_masked(mask_ranks, ranks_a)
+        hit_b = masking.rank_is_masked(mask_ranks, ranks_b)
+        valid_a = (a_n < n) & ~hit_a
+        valid_b = (b_n < n) & ~hit_b
+        # Membership against the *masked* opposite row: entries whose
+        # own edge is batch-masked are remapped to the pad id first, so
+        # "v in masked N(tgt)" is a plain 1-lane membership instead of
+        # membership + a 2-lane cross-edge rank lookup checked against
+        # the bitmap afterwards (saves 2 of 4 bitmap row-gathers and
+        # 2/3 of these dots' reduce lanes; measured r4, identical
+        # semantics — a pad query only ever matches remapped pad
+        # entries, and those query slots are dropped by valid_a/b).
+        a_eff = jnp.where(hit_a, n, a_n)
+        b_eff = jnp.where(hit_b, n, b_n)
+        a_in_tgt = row_contains(b_eff, a_n)
+        b_in_src = row_contains(a_eff, b_n)
         if all_mode:
+            # deliberately UNMASKED rows here (reference NOTE :438-441)
             if not in_a_flags:
                 in_a_raw = row_contains(a_n, p_n)
             in_b_raw = row_contains(b_n, p_n)
