@@ -325,8 +325,11 @@ def extract_context_rows(
     if use_mask:
         ranks_a = rows_s.adj_ranks           # rank of edge (src, v)
         ranks_b = rows_t.adj_ranks           # rank of edge (tgt, v)
-        hit_a = masking.rank_is_masked(mask_ranks, ranks_a)
-        hit_b = masking.rank_is_masked(mask_ranks, ranks_b)
+        a_cols = ranks_a.shape[1]
+        hits = masking.rank_is_masked(
+            mask_ranks, jnp.concatenate([ranks_a, ranks_b], axis=1)
+        )                                    # one bitmap pass, not two
+        hit_a, hit_b = hits[:, :a_cols], hits[:, a_cols:]
         valid_a = (a_n < n) & ~hit_a
         valid_b = (b_n < n) & ~hit_b
         # Membership against the *masked* opposite row: entries whose
@@ -339,8 +342,14 @@ def extract_context_rows(
         # entries, and those query slots are dropped by valid_a/b).
         a_eff = jnp.where(hit_a, n, a_n)
         b_eff = jnp.where(hit_b, n, b_n)
-        a_in_tgt = row_contains(b_eff, a_n)
-        b_in_src = row_contains(a_eff, b_n)
+        # both directions in ONE batch-stacked dot (same cell count,
+        # half the op launches — extraction walls are gap-sensitive)
+        both = row_contains(
+            jnp.concatenate([b_eff, a_eff], axis=0),
+            jnp.concatenate([a_n, b_n], axis=0),
+        )
+        bsz = a_n.shape[0]
+        a_in_tgt, b_in_src = both[:bsz], both[bsz:]
         if all_mode:
             # deliberately UNMASKED rows here (reference NOTE :438-441)
             if not in_a_flags:
