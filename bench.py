@@ -97,6 +97,15 @@ def main():
                          "dominated by B-proportional [B, N] row algebra, "
                          "not fixed overhead")
     ap.add_argument("--skip-naive", action="store_true")
+    ap.add_argument("--with-naive", action="store_true",
+                    help="force a fresh naive-port baseline measurement "
+                         "even when naive_baseline.json holds a cached "
+                         "one for this preset. Default policy: reuse the "
+                         "cache — the naive program is a separate "
+                         "multi-minute cold compile, and paying it after "
+                         "a cache-invalidating HEAD change is what "
+                         "turned the round-4 driver bench into rc=124 "
+                         "with no receipt")
     ap.add_argument("--pallas", dest="pallas", action="store_true",
                     default=None,
                     help="force the fused Pallas PE+attention kernel "
@@ -298,20 +307,6 @@ def main():
         print(f"[bench] profile trace written to {args.profile}",
               file=sys.stderr)
 
-    vs_baseline = 1.0
-    if not args.skip_naive:
-        naive_dt = _bench_naive(
-            cfg, ds, params_naive, args.naive_batch, jax, jnp
-        )
-        naive_links_per_s = args.naive_batch / naive_dt
-        vs_baseline = links_per_s / naive_links_per_s
-        print(
-            f"[bench] naive-port step: {naive_dt*1e3:.1f} ms at batch "
-            f"{args.naive_batch} -> {naive_links_per_s:,.0f} links/s "
-            f"(speedup {vs_baseline:.2f}x)",
-            file=sys.stderr,
-        )
-
     # --- roofline / MFU accounting (SURVEY §6 speed-of-light accounting) ---
     from lpformer_tpu.utils.profiling import (
         roofline_report, train_step_roofline,
@@ -343,7 +338,6 @@ def main():
         "blocked_spmm": ds.graph.blk is not None,
         "step_ms": round(dt * 1e3, 2),
         "links_per_s": round(links_per_s, 1),
-        "vs_naive_port": round(vs_baseline, 3),
         "step_tflops": round(est.achieved_flops / 1e12, 3),
         "step_mfu": round(est.flops_util, 4),
         "step_gbps": round(est.achieved_bw / 1e9, 1),
@@ -351,28 +345,108 @@ def main():
         "step_bound": est.bound,
         "bytes_per_link": round(est.bytes / args.batch, 1),
     }
-    if args.smoke and args.details_out == "bench_details.json":
-        # a CPU sanity run must not clobber the committed real-TPU
-        # artifact the judge reads; an explicit --details-out wins
-        args.details_out = os.path.join(
-            tempfile.gettempdir(), f"bench_details_smoke_{os.getpid()}.json"
-        )
-        print(f"[smoke] details -> {args.details_out}", file=sys.stderr)
-    try:
-        with open(args.details_out, "w") as f:
-            json.dump(details, f, indent=1)
-    except OSError:
-        pass
 
-    out = {
-        "metric": "train_step_links_per_s",
-        "value": round(links_per_s, 1),
-        "unit": "links/s/chip",
-        "vs_baseline": round(vs_baseline, 3),
-    }
-    out.update({k: v for k, v in details.items()
-                if k not in ("links_per_s", "vs_naive_port")})
-    print(json.dumps(out))
+    def emit(vs_baseline, source):
+        """Print the headline JSON line (+ refresh the details artifact).
+
+        Called TWICE when a fresh naive baseline is measured: once right
+        after the fused-step timing (so a driver timeout during the
+        naive program's multi-minute compile cannot void the receipt —
+        the round-4 failure mode) and again with the fresh ratio. A
+        consumer should take the LAST matching line.
+        """
+        details["vs_naive_port"] = round(vs_baseline, 3)
+        details["vs_baseline_source"] = source
+        d_out = args.details_out
+        if args.smoke and d_out == "bench_details.json":
+            # a CPU sanity run must not clobber the committed real-TPU
+            # artifact the judge reads; an explicit --details-out wins
+            d_out = os.path.join(
+                tempfile.gettempdir(),
+                f"bench_details_smoke_{os.getpid()}.json",
+            )
+            print(f"[smoke] details -> {d_out}", file=sys.stderr)
+        try:
+            with open(d_out, "w") as f:
+                json.dump(details, f, indent=1)
+        except OSError:
+            pass
+        out = {
+            "metric": "train_step_links_per_s",
+            "value": round(links_per_s, 1),
+            "unit": "links/s/chip",
+            "vs_baseline": round(vs_baseline, 3),
+        }
+        out.update({k: v for k, v in details.items()
+                    if k not in ("links_per_s", "vs_naive_port")})
+        print(json.dumps(out), flush=True)
+
+    # naive-baseline cache: the naive program is its own cold compile
+    # (20+ min for B>=1024 shapes through the tunnel); its measured
+    # links/s is independent of fused-step changes, so reuse it unless
+    # --with-naive asks for a re-measure. Keyed by preset ("default"
+    # and "collab-like" are the same shape and share an entry).
+    cache_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "naive_baseline.json")
+    ckey = "collab-like" if (args.preset or "default") == "default" \
+        else args.preset
+    cached = None
+    if not args.smoke:
+        try:
+            with open(cache_path) as f:
+                cached = json.load(f).get(ckey)
+        except (OSError, ValueError):
+            pass
+
+    if cached is not None:
+        emit(links_per_s / cached["naive_links_per_s"],
+             f"cached naive_baseline.json ({cached.get('measured_at', '?')})")
+    elif not args.skip_naive:
+        # no cached ratio to anchor the early receipt: emit with the
+        # fused rate alone marked unanchored, then measure
+        emit(1.0, "unmeasured (naive baseline pending)")
+
+    run_naive = not args.skip_naive and (args.with_naive or cached is None)
+    if run_naive:
+        naive_dt = _bench_naive(
+            cfg, ds, params_naive, args.naive_batch, jax, jnp
+        )
+        naive_links_per_s = args.naive_batch / naive_dt
+        print(
+            f"[bench] naive-port step: {naive_dt*1e3:.1f} ms at batch "
+            f"{args.naive_batch} -> {naive_links_per_s:,.0f} links/s "
+            f"(speedup {links_per_s/naive_links_per_s:.2f}x)",
+            file=sys.stderr,
+        )
+        if not args.smoke:
+            try:
+                with open(cache_path) as f:
+                    cache = json.load(f)
+            except (OSError, ValueError):
+                cache = {}
+            import subprocess
+            try:
+                sha = subprocess.run(
+                    ["git", "rev-parse", "--short", "HEAD"],
+                    capture_output=True, text=True,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                ).stdout.strip() or "?"
+            except OSError:
+                sha = "?"
+            cache[ckey] = {
+                "naive_links_per_s": round(naive_links_per_s, 1),
+                "naive_ms": round(naive_dt * 1e3, 1),
+                "naive_batch": args.naive_batch,
+                "measured_at": sha,
+            }
+            try:
+                with open(cache_path, "w") as f:
+                    json.dump(cache, f, indent=1)
+            except OSError:
+                pass
+        emit(links_per_s / naive_links_per_s, "measured this run")
+    elif cached is None and args.skip_naive:
+        emit(1.0, "skipped (--skip-naive, no cache)")
 
 
 def _time_chained(jax, jnp, fn, ops, n_warmup=2, n_iter=10):

@@ -30,10 +30,11 @@ shape gathers and vectorized binary searches over padded per-node rows:
     [reference :340-386].
 
 Each class is then compacted to a static per-class budget (prefix-sum +
-one-hot MXU scatter: on overflow the FIRST ``budget`` valid entries by
-ascending node id are kept — the reference has no budgets, so overflow
-handling is a framework approximation; counts stay exact). Overflow is
-reported per link so callers can size budgets (budget = cap is exact).
+one-hot MXU scatter: on overflow the entries with the largest
+``ppr_s + ppr_t`` are kept, ties broken toward ascending node id — see
+:func:`_compact`; the reference has no budgets, so overflow handling is
+a framework approximation; counts stay exact). Overflow is reported per
+link so callers can size budgets (budget = cap is exact).
 """
 from __future__ import annotations
 
@@ -343,7 +344,13 @@ def extract_context_rows(
         a_eff = jnp.where(hit_a, n, a_n)
         b_eff = jnp.where(hit_b, n, b_n)
         # both directions in ONE batch-stacked dot (same cell count,
-        # half the op launches — extraction walls are gap-sensitive)
+        # half the op launches — extraction walls are gap-sensitive).
+        # The axis-0 stacking requires src/tgt adjacency rows to share
+        # one cap width A — true today (both gathered from the same
+        # padded table); an asymmetric-cap caller must split the dots.
+        assert a_eff.shape == b_eff.shape and a_n.shape == b_n.shape, (
+            f"batch-stacked membership needs equal adjacency caps, got "
+            f"{a_eff.shape} vs {b_eff.shape}")
         both = row_contains(
             jnp.concatenate([b_eff, a_eff], axis=0),
             jnp.concatenate([a_n, b_n], axis=0),

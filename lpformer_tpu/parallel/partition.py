@@ -41,6 +41,8 @@ from lpformer_tpu.graph.containers import GraphBundle
         "edge_dst_local",
         "edge_w",
         "diag",
+        "edge_rank",
+        "edge_bin",
         "adj_nbrs",
         "adj_vals",
         "adj_ranks",
@@ -63,6 +65,12 @@ class ShardedGraph:
       edge_dst_local: [G, D, E_blk] destination row LOCAL to the graph shard
       edge_w:         [G, D, E_blk] normalized weights (0 = padding)
       diag:           [N_pad]       normalized self-loop coefficients
+      edge_rank:      [G, D, E_blk] int32 global train-edge rank per edge
+                                    (pad = -1; only under mask_input)
+      edge_bin:       [G, D, E_blk] f32 binarized weight (1 = real edge;
+                                    only under mask_input — the masked
+                                    propagation adjacency is UNWEIGHTED,
+                                    reference train_model.py:51-53)
 
     Context extraction (row-sharded over the FLATTENED (data, graph) mesh;
     row block k of ndev belongs to the device with linear index k where
@@ -80,6 +88,8 @@ class ShardedGraph:
     edge_dst_local: jnp.ndarray
     edge_w: jnp.ndarray
     diag: jnp.ndarray
+    edge_rank: Optional[jnp.ndarray]
+    edge_bin: Optional[jnp.ndarray]
     adj_nbrs: jnp.ndarray
     adj_vals: Optional[jnp.ndarray]
     adj_ranks: Optional[jnp.ndarray]
@@ -108,9 +118,15 @@ def _pad_rows(arr: Optional[jnp.ndarray], n_pad: int, fill) -> Optional[jnp.ndar
 
 
 def partition_graph(
-    bundle: GraphBundle, g: int, d: int, pad_multiple: int = 8
+    bundle: GraphBundle, g: int, d: int, pad_multiple: int = 8,
+    mask_input: bool = False,
 ) -> ShardedGraph:
-    """Partition a GraphBundle for a (data=d, graph=g) mesh."""
+    """Partition a GraphBundle for a (data=d, graph=g) mesh.
+
+    ``mask_input=True`` additionally blocks out per-edge train ranks and
+    binarized weights (~E*8 bytes) so the sharded step can rebuild the
+    batch-masked, renormalized propagation adjacency in-jit (the mesh
+    analog of the single-device ``--mask-input`` path)."""
     n = bundle.num_nodes
     src = np.asarray(bundle.edge_src)
     dst = np.asarray(bundle.edge_dst)
@@ -133,17 +149,27 @@ def partition_graph(
     diag_pad = np.zeros(n_pad, np.float32)
     diag_pad[:n] = diag
 
+    rank = None
+    if mask_input:
+        rank = np.asarray(bundle.edge_rank)
+        assert rank is not None and rank.shape == src.shape, (
+            "mask_input partitioning needs bundle.edge_rank"
+        )
     shard_of = dst // rows_per
     blocks = []
     for i in range(g):
         m = shard_of == i
         bs, bd, bw = src[m], dst[m] - i * rows_per, w_norm[m]
+        br = rank[m] if mask_input else None
+        bb = (w[m] > 0).astype(np.float32) if mask_input else None
         # contiguous split across the data axis (keeps dst-sortedness)
         cuts = np.linspace(0, len(bs), d + 1).astype(np.int64)
         blocks.append(
             [
                 (bs[cuts[j]:cuts[j + 1]], bd[cuts[j]:cuts[j + 1]],
-                 bw[cuts[j]:cuts[j + 1]])
+                 bw[cuts[j]:cuts[j + 1]],
+                 None if br is None else br[cuts[j]:cuts[j + 1]],
+                 None if bb is None else bb[cuts[j]:cuts[j + 1]])
                 for j in range(d)
             ]
         )
@@ -157,13 +183,20 @@ def partition_graph(
     # holds, and out-of-range ids are dropped by num_segments=rows_per.
     ed = np.full((g, d, e_blk), rows_per, np.int32)
     ew = np.zeros((g, d, e_blk), np.float32)
+    # rank pad = -1: bitmap_from_link_ranks never marks rank -1, so a
+    # padded slot can never be masked out (its bin weight is 0 anyway)
+    er = np.full((g, d, e_blk), -1, np.int32) if mask_input else None
+    eb = np.zeros((g, d, e_blk), np.float32) if mask_input else None
     for i in range(g):
         for j in range(d):
-            bs, bd, bw = blocks[i][j]
+            bs, bd, bw, br, bb = blocks[i][j]
             m = len(bs)
             es[i, j, :m] = bs
             ed[i, j, :m] = bd
             ew[i, j, :m] = bw
+            if mask_input:
+                er[i, j, :m] = br
+                eb[i, j, :m] = bb
 
     # --- context rows, sharded over ALL ndev = g*d devices ---
     ndev = g * d
@@ -177,6 +210,8 @@ def partition_graph(
         edge_dst_local=jnp.asarray(ed),
         edge_w=jnp.asarray(ew),
         diag=jnp.asarray(diag_pad),
+        edge_rank=None if er is None else jnp.asarray(er),
+        edge_bin=None if eb is None else jnp.asarray(eb),
         adj_nbrs=_pad_rows(adj.nbrs, nc_pad, n),
         adj_vals=_pad_rows(adj.vals, nc_pad, 0.0),
         adj_ranks=_pad_rows(adj.ranks, nc_pad, -1),
@@ -205,6 +240,8 @@ def sharded_graph_specs():
         edge_dst_local=P("graph", "data", None),
         edge_w=P("graph", "data", None),
         diag=P("graph"),
+        edge_rank=P("graph", "data", None),
+        edge_bin=P("graph", "data", None),
         adj_nbrs=P(("data", "graph"), None),
         adj_vals=P(("data", "graph"), None),
         adj_ranks=P(("data", "graph"), None),
@@ -235,6 +272,7 @@ def place_sharded_graph(sg: ShardedGraph, mesh) -> ShardedGraph:
             f: put(getattr(sg, f), getattr(specs, f))
             for f in (
                 "x", "edge_src", "edge_dst_local", "edge_w", "diag",
+                "edge_rank", "edge_bin",
                 "adj_nbrs", "adj_vals", "adj_ranks",
                 "ppr_nbrs", "ppr_vals", "ppr_flags",
             )

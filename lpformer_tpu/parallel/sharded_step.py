@@ -173,6 +173,7 @@ def _sg_in_specs():
     s = sharded_graph_specs()
     return (
         s.x, s.edge_src, s.edge_dst_local, s.edge_w, s.diag,
+        s.edge_rank, s.edge_bin,
         s.adj_nbrs, s.adj_vals, s.adj_ranks,
         s.ppr_nbrs, s.ppr_vals, s.ppr_flags,
     )
@@ -181,6 +182,7 @@ def _sg_in_specs():
 def _sg_args(sg: ShardedGraph):
     return (
         sg.x, sg.edge_src, sg.edge_dst_local, sg.edge_w, sg.diag,
+        sg.edge_rank, sg.edge_bin,
         sg.adj_nbrs, sg.adj_vals, sg.adj_ranks,
         sg.ppr_nbrs, sg.ppr_vals, sg.ppr_flags,
     )
@@ -194,6 +196,7 @@ def make_sharded_loss(
     ctx_rows_per: int,
     train: bool = True,
     context_parallel: bool = False,
+    mask_input: bool = False,
 ):
     """Returns loss(params, sg, mult, psrc, ptgt, pw, nsrc, ntgt, nw, rng)
     -> scalar, internally shard_mapped over the mesh.
@@ -201,7 +204,17 @@ def make_sharded_loss(
     With ``context_parallel=True`` the link batch is sharded over 'data'
     only and each link's context axis is sharded over 'graph' with a
     merged two-pass softmax (parallel/context_parallel.py) — the
-    long-context mode for budgets exceeding one chip."""
+    long-context mode for budgets exceeding one chip.
+
+    With ``mask_input=True`` (the mesh analog of the single-device
+    ``--mask-input`` / pubmed replication path, reference
+    train_model.py:47-57) the POSITIVE half propagates through the
+    batch-masked, renormalized, UNWEIGHTED adjacency rebuilt in-jit:
+    masked local edge weights -> psum'd masked degrees over 'data' ->
+    all_gathered inverse-sqrt over 'graph' -> renormalized block
+    weights. Negatives propagate through the standard adjacency
+    (double propagation, exactly the single-device semantics). Requires
+    ``partition_graph(..., mask_input=True)`` blocks."""
     g_axis = mesh.shape["graph"]
     if context_parallel:
         from lpformer_tpu.parallel.context_parallel import check_cp_budgets
@@ -212,6 +225,7 @@ def make_sharded_loss(
     def inner(
         params,
         x_sh, es, ed, ew, diag_sh,      # propagation shards
+        e_rank, e_bin,                  # per-edge rank/bin (mask_input)
         adj_nbrs, adj_vals, adj_ranks,  # context row shards
         ppr_nbrs, ppr_vals, ppr_flags,
         mult,                           # replicated [U]
@@ -219,6 +233,12 @@ def make_sharded_loss(
         rng,
     ):
         es, ed, ew = es[0, 0], ed[0, 0], ew[0, 0]
+        if mask_input:
+            assert e_rank is not None and e_bin is not None, (
+                "mask_input sharded loss needs partition_graph("
+                "mask_input=True) edge_rank/edge_bin blocks"
+            )
+            e_rank, e_bin = e_rank[0, 0], e_bin[0, 0]
         ctx_arrs = (adj_nbrs, adj_vals, adj_ranks,
                     ppr_nbrs, ppr_vals, ppr_flags)
         didx = jax.lax.axis_index("data")
@@ -238,12 +258,6 @@ def make_sharded_loss(
             dev_rng = jax.random.fold_in(
                 jax.random.fold_in(rng, didx), gidx
             )
-
-        # ---- propagate (sharded GCN + final LN) ----
-        X_full = _propagate_sharded(
-            params, cfg, x_sh, es, ed, ew, diag_sh, rows_per, num_nodes,
-            enc_rng if train else None, train,
-        )
 
         # ---- context rows for this device's links (collective fetch) ----
         bl = psrc.shape[0]
@@ -278,7 +292,44 @@ def make_sharded_loss(
         w_all = jax.lax.all_gather(pw, link_axes, axis=0, tiled=True)
         mask_ranks = masking.bitmap_from_link_ranks(rank_all, mult, w_all)
 
-        def link_scores(src, tgt, rows_s, rows_t, ranks, tag):
+        # ---- propagate (sharded GCN + final LN) ----
+        if mask_input:
+            # pos half: batch-masked UNWEIGHTED adjacency, renormalized
+            # in-jit. Masked degrees need every edge block's contribution
+            # (blocks are split over 'data'), hence the psum; the source
+            # side of the norm needs other shards' rows, hence the tiny
+            # [N_pad] all_gather of dinv over 'graph'.
+            wm = masking.mask_edge_weights(mask_ranks, e_rank, e_bin)
+            deg_sh = jax.lax.psum(
+                jax.ops.segment_sum(
+                    wm, ed, num_segments=rows_per, indices_are_sorted=True
+                ),
+                "data",
+            ) + 1.0
+            dinv_sh = jax.lax.rsqrt(deg_sh)          # deg >= 1 always
+            dinv_full = jax.lax.all_gather(
+                dinv_sh, "graph", axis=0, tiled=True
+            )
+            ed_c = jnp.minimum(ed, rows_per - 1)     # pad slots: wm == 0
+            wm_norm = dinv_full[es] * wm * dinv_sh[ed_c]
+            diag_m = dinv_sh * dinv_sh
+            X_pos = _propagate_sharded(
+                params, cfg, x_sh, es, ed, wm_norm, diag_m, rows_per,
+                num_nodes,
+                jax.random.fold_in(enc_rng, 7) if train else None, train,
+            )
+            X_neg = _propagate_sharded(
+                params, cfg, x_sh, es, ed, ew, diag_sh, rows_per,
+                num_nodes,
+                jax.random.fold_in(enc_rng, 8) if train else None, train,
+            )
+        else:
+            X_pos = X_neg = _propagate_sharded(
+                params, cfg, x_sh, es, ed, ew, diag_sh, rows_per,
+                num_nodes, enc_rng if train else None, train,
+            )
+
+        def link_scores(X_full, src, tgt, rows_s, rows_t, ranks, tag):
             r = jax.random.fold_in(dev_rng, tag)
             ctx = extract_context_rows(
                 rows_s, rows_t, cfg.context, num_nodes,
@@ -307,8 +358,10 @@ def make_sharded_loss(
                 params, cfg, h, rng=jax.random.fold_in(r, 4), train=train
             )
 
-        pos_out = link_scores(psrc, ptgt, ps_rows, pt_rows, mask_ranks, 10)
-        neg_out = link_scores(nsrc, ntgt, ns_rows, nt_rows, None, 11)
+        pos_out = link_scores(
+            X_pos, psrc, ptgt, ps_rows, pt_rows, mask_ranks, 10
+        )
+        neg_out = link_scores(X_neg, nsrc, ntgt, ns_rows, nt_rows, None, 11)
 
         pos_sum = jnp.sum(jnp.log(pos_out + 1e-6) * pw)
         neg_sum = jnp.sum(jnp.log(1.0 - neg_out + 1e-6) * nw)
@@ -505,6 +558,7 @@ def make_sharded_train_step(
     num_negative: int = 1,
     context_parallel: bool = False,
     steps_per_call: int = 1,
+    mask_input: bool = False,
 ):
     """``steps_per_call`` > 1 returns the mesh analog of the single-device
     multi-step device loop (train/step.py): K full optimizer steps per
@@ -515,7 +569,7 @@ def make_sharded_train_step(
     per-launch host->controller dispatch."""
     loss_fn = make_sharded_loss(
         cfg, mesh, num_nodes, rows_per, ctx_rows_per, train=True,
-        context_parallel=context_parallel,
+        context_parallel=context_parallel, mask_input=mask_input,
     )
 
     def step(state: TrainState, sg: ShardedGraph, mult, src, tgt, w, rng):

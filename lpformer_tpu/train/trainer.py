@@ -283,8 +283,6 @@ def train_loop(
         )
         from lpformer_tpu.parallel.eval import ShardedEvalContext
 
-        if args.mask_input:
-            raise ValueError("--mask-input is not supported with --mesh")
         if args.grad_accum > 1:
             raise ValueError("--grad-accum is not supported with --mesh")
         d, g = parse_mesh(args.mesh)
@@ -299,7 +297,10 @@ def train_loop(
             f"{link_dev} link-sharding devices"
         )
         mesh = make_mesh(data=d, graph=g, devices=jax.devices()[:ndev])
-        sg = place_sharded_graph(partition_graph(ds.graph, g=g, d=d), mesh)
+        sg = place_sharded_graph(
+            partition_graph(ds.graph, g=g, d=d, mask_input=args.mask_input),
+            mesh,
+        )
         eval_ctx = ShardedEvalContext(
             cfg, mesh, ds, sg_train=sg,
             context_parallel=args.context_parallel,
@@ -309,6 +310,7 @@ def train_loop(
             sg.ctx_rows_per_shard, num_negative=args.num_negative,
             context_parallel=args.context_parallel,
             steps_per_call=args.steps_per_call,
+            mask_input=args.mask_input,
         )
 
         if args.steps_per_call > 1:

@@ -25,27 +25,13 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _time_chained(jax, jnp, fn, ops, n_warmup=2, n_iter=20):
-    jfn = jax.jit(fn)
-    c = jnp.zeros((), jnp.float32)
-    t0 = time.time()
-    for _ in range(n_warmup):
-        c = jfn(c, *ops)
-    float(c)
-    compile_s = time.time() - t0
-    c = jnp.zeros((), jnp.float32)
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        c = jfn(c, *ops)
-    float(c)
-    return (time.perf_counter() - t0) / n_iter * 1e3, compile_s
+from _benchutil import time_chained_ms as _time_chained  # noqa: E402
 
 
 def make_tables(rng, b, i, n, occupancy):

@@ -32,20 +32,11 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+from _benchutil import time_chained  # noqa: E402
+
+
 def _time_chained(jax, jnp, fn, ops, n_warmup=2, n_iter=8, donate=False):
-    jfn = jax.jit(fn, donate_argnums=(0,) if donate else ())
-    c = jnp.zeros((), jnp.float32)
-    t0 = time.time()
-    for _ in range(n_warmup):
-        c = jfn(c, *ops)
-    float(c)
-    compile_s = time.time() - t0
-    c = jnp.zeros((), jnp.float32)
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        c = jfn(c, *ops)
-    float(c)
-    return (time.perf_counter() - t0) / n_iter, compile_s
+    return time_chained(jax, jnp, fn, ops, n_warmup, n_iter, donate)
 
 
 def main():

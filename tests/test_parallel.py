@@ -349,3 +349,56 @@ def test_mesh_grouped_eval_matches_per_batch():
         params, cfg, ds, batch_size=16, with_mrr=True)
     for a, b in zip(got["MRR"], want["MRR"]):
         assert abs(a - b) < 2e-3, (got["MRR"], want["MRR"])
+
+
+def test_sharded_mask_input_loss_matches_single_device():
+    """The mesh mask_input path (in-jit masked renorm + double
+    propagation, sharded_step.make_sharded_loss(mask_input=True)) must
+    reproduce the single-device --mask-input loss on every mesh shape."""
+    ds = synthetic_dataset(
+        seed=0, num_nodes=96, num_train=320, num_eval=32, feat_dim=12,
+        mask_input=True,
+    )
+    cfg = LPFormerConfig(
+        dim=16, gnn_layers=2, budget_cn=24, budget_onehop=48,
+        budget_non1hop=48, dropout=0.0, gnn_drop=0.0, att_drop=0.0,
+        feat_drop=0.0, pred_drop=0.0,
+    )
+    params = init_lpformer(jax.random.PRNGKey(3), cfg, in_dim=12)
+    batch = 32
+    src = jnp.asarray(ds.train_pos[:batch, 0])
+    tgt = jnp.asarray(ds.train_pos[:batch, 1])
+    rng = jax.random.PRNGKey(7)
+    neg = jax.random.randint(rng, (2, batch), 0, ds.num_nodes, dtype=src.dtype)
+    w = jnp.ones((batch,), jnp.float32)
+
+    mask_ranks = masking.batch_mask_ranks(
+        ds.graph.adj_rows, src, tgt, ds.mask_mult_device, weight=w
+    )
+    bin_w = (ds.graph.edge_w > 0).astype(jnp.float32)
+    prop_w = masking.mask_edge_weights(
+        mask_ranks, ds.graph.edge_rank, bin_w
+    )
+    # the masked adjacency must actually differ, or this test is vacuous
+    assert float(jnp.sum(prop_w)) < float(jnp.sum(bin_w))
+    want = float(single_loss_fn(
+        params, cfg, ds.graph, src, tgt, neg[0], neg[1], w,
+        mask_ranks, prop_w, rng, True,
+    ))
+    # and differ from the unmasked loss (the renorm path is live)
+    base = float(_single_device_loss(ds, cfg, params, src, tgt, neg, w, rng))
+    assert abs(want - base) > 1e-6
+
+    for d, g in ((2, 4), (1, 8), (8, 1)):
+        mesh = make_mesh(data=d, graph=g, devices=jax.devices()[: d * g])
+        sg = partition_graph(ds.graph, g=g, d=d, mask_input=True)
+        loss = jax.jit(
+            make_sharded_loss(cfg, mesh, ds.num_nodes, sg.rows_per_shard,
+                              sg.ctx_rows_per_shard, train=True,
+                              mask_input=True)
+        )
+        got = float(
+            loss(params, sg, ds.mask_mult_device, src, tgt, w,
+                 neg[0], neg[1], w, rng)
+        )
+        assert abs(got - want) < 2e-4, (d, g, got, want)
