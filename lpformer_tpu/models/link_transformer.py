@@ -64,7 +64,17 @@ def init_lpformer(
         # (link_transformer.py:56-62); every published config uses 1.
         raise NotImplementedError("trans_layers > 2 is not supported")
     if cfg.trans_layers == 2 and cfg.num_heads != 1:
-        raise NotImplementedError("trans_layers == 2 requires num_heads == 1")
+        # The reference itself is dimensionally broken here: layer 2's
+        # lin_l takes in_channels=dim (modules/layers.py:130) but
+        # receives heads*dim chunks of layer 1's concatenated output
+        # (layers.py:212-214) — its own forward raises a matmul shape
+        # error (pinned by tests/test_reference_parity.py::
+        # test_two_layer_multihead_is_broken_in_reference_too).
+        raise NotImplementedError(
+            "trans_layers == 2 requires num_heads == 1 (the reference's "
+            "own 2-layer multi-head stack is dimensionally inconsistent "
+            "and crashes; see PARITY.md)"
+        )
     keys = jax.random.split(key, 10)
     d = cfg.dim
     p: Dict = {}

@@ -331,3 +331,49 @@ def test_forward_and_score_match_reference(mode, trans_layers, num_heads):
     np.testing.assert_allclose(h, h_ref, rtol=5e-4, atol=5e-5)
     s = np.asarray(score_links(params, cfg, jnp.asarray(h_ref)))
     np.testing.assert_allclose(s, s_ref, rtol=2e-4, atol=2e-6)
+
+
+def test_two_layer_multihead_is_broken_in_reference_too():
+    """trans_layers=2 with num_heads>1: this framework refuses the
+    config (models/link_transformer.py:init_lpformer) because the
+    REFERENCE ITSELF is dimensionally inconsistent there — its second
+    layer's ``lin_l`` is built with in_channels=dim
+    (modules/layers.py:130 via link_transformer.py:62) but receives the
+    first layer's concatenated heads*dim output chunks
+    (layers.py:212-214), so the reference's own unmodified forward
+    raises a matmul shape error. Both behaviors are pinned here; every
+    published reference config uses trans_layers=1 (VERDICT r4
+    missing #4 / PARITY.md)."""
+    import torch
+
+    ds = synthetic_dataset(
+        seed=0, num_nodes=70, num_train=260, num_eval=24, feat_dim=10,
+        eps=1e-3,
+    )
+    cfg = LPFormerConfig(
+        dim=24, gnn_layers=2, trans_layers=2, num_heads=2,
+        thresh_cn=0.0, thresh_1hop=1e-3, thresh_non1hop=1e-3,
+        budget_cn=70, budget_onehop=140, budget_non1hop=70,
+        dropout=0.0, gnn_drop=0.0, att_drop=0.0, feat_drop=0.0,
+        use_pallas_attention=False,
+    )
+    # this framework: loud refusal at init
+    with pytest.raises(NotImplementedError, match="num_heads"):
+        init_lpformer(jax.random.PRNGKey(0), cfg, in_dim=10)
+
+    # the reference: constructs silently, crashes in forward with a
+    # shape mismatch (heads*dim chunk into a dim-expecting Linear)
+    rlt, _, _ = refshim.load_reference()
+    _patch_cn_mode_torch_bug(rlt)
+    data = refshim.build_reference_data(ds)
+    model = rlt.LinkTransformer(
+        refshim.make_train_args(cfg), data, device="cpu"
+    )
+    model.eval()
+    batch_t = torch.tensor(
+        [[int(s) for s, _ in ds.valid_pos[:4]],
+         [int(t) for _, t in ds.valid_pos[:4]]], dtype=torch.long
+    )
+    with pytest.raises(RuntimeError, match="cannot be multiplied"):
+        with torch.no_grad():
+            model(batch_t)
