@@ -51,9 +51,16 @@ def _time_steps(fn, args, n_warmup=2, n_iter=8):
 
 
 PRESETS = {
-    # collab-like is the default shape (the round-1 headline number)
+    # collab-like is the default shape (the round-1 headline number).
+    # combined=128: measured p99.9 of the TOTAL per-link context count
+    # is 64 and the max over 16k sampled links ~107 (classes' tails
+    # don't stack), so the class-tagged combined table carries the same
+    # context sets in 128 slots instead of the 320 stacked per-class
+    # budgets — the [B, C] width drives the key gather, the fused
+    # kernel, and the scatter VJP (~40% of the r4 step)
     "collab-like": dict(nodes=50_000, edges=400_000, feat=128, dim=128,
-                        batch=4096, budgets=(64, 128, 128), gnn_layers=3),
+                        batch=4096, budgets=(64, 128, 128), gnn_layers=3,
+                        combined=128),
     # citation2-scale: 1M nodes / 5M sym edges, big batch, small dim
     # (reference config: dim 64, bs 32768, replicate_existing.sh:19);
     # budgets tile-aligned to 32 for the fused PE+attention kernel
@@ -134,6 +141,12 @@ def main():
     ap.add_argument("--no-ell", action="store_true",
                     help="disable the hybrid ELL SpMM (A/B: COO "
                          "gather+segment_sum propagation instead)")
+    ap.add_argument("--budget-combined", type=int, default=None,
+                    help="combined (class-tagged) context budget "
+                         "(presets may set a default; overrides it)")
+    ap.add_argument("--no-combined", action="store_true",
+                    help="disable the combined context table (A/B: "
+                         "classic per-class blocks)")
     ap.add_argument("--no-blocked", action="store_true",
                     help="disable the tiled BlockedCOO SpMM on big "
                          "graphs (A/B: bucketed-ELL path instead)")
@@ -157,6 +170,7 @@ def main():
 
     budgets = (64, 128, 128)
     gnn_layers = 3
+    combined = 128  # default shape = collab-like, incl. its combined budget
     if args.grad_accum is None and not args.preset:
         args.grad_accum = 1
     if args.preset:
@@ -164,8 +178,13 @@ def main():
         args.nodes, args.edges = p["nodes"], p["edges"]
         args.feat, args.dim, args.batch = p["feat"], p["dim"], p["batch"]
         budgets, gnn_layers = p["budgets"], p["gnn_layers"]
+        combined = p.get("combined")
         if args.grad_accum is None:
             args.grad_accum = p.get("accum", 1)
+    if args.budget_combined is not None:
+        combined = args.budget_combined
+    if args.no_combined:
+        combined = None
 
     import os
 
@@ -175,6 +194,8 @@ def main():
         args.feat = args.dim = 32
         args.batch, args.naive_batch = 256, 64
         budgets, gnn_layers = (16, 32, 32), 1
+        if combined is not None:
+            combined = 32
 
     # persistent XLA compile cache: plain-XLA compiles through the axon
     # tunnel cost 140 s - 25 min per new program; a repeat bench at the
@@ -240,6 +261,7 @@ def main():
         budget_cn=budgets[0],
         budget_onehop=budgets[1],
         budget_non1hop=budgets[2],
+        budget_combined=combined,
         use_pallas_attention=args.pallas,
         matmul_dtype="bfloat16" if args.bf16 else "float32",
     )
@@ -330,6 +352,7 @@ def main():
             else jax.default_backend() == "tpu"
         ),
         "ell_spmm": ds.graph.ell is not None,
+        "budget_combined": combined,
         "ell_cap": None if ds.graph.ell is None else _ell_caps(ds.graph.ell),
         "matmul_dtype": cfg.matmul_dtype,
         "grad_accum": args.grad_accum,
@@ -827,12 +850,30 @@ def _bench_kernels(cfg, ds, args, jax, jnp):
             f32(1, dim) / 4, f32(dim) / 10,
         )
 
-        def pe_call(xj_node, ps, pt, v, q, w1, b1, g_, b_, w2f, cb, at, bi):
-            return fused_pe_link_attention(
-                xj_node, ps, pt, v, q, w1, b1, g_, b_, w2f, cb, at, bi,
-                c_tile=c_tile, tile_classes=tile_classes,
-                interpret=jax.default_backend() != "tpu",
+        if tile_classes is None:
+            # combined (class-tagged) mode: bench the mixed kernel
+            from lpformer_tpu.ops.pallas.pe_attention_mixed import (
+                fused_pe_link_attention_mixed,
             )
+
+            ecls = jnp.asarray(
+                rr.integers(0, ncls, (b, c_total)).astype(np.int32))
+
+            def pe_call(xj_node, ps, pt, v, q, w1, b1, g_, b_, w2f, cb,
+                        at, bi):
+                return fused_pe_link_attention_mixed(
+                    xj_node, ps, pt, v, ecls, q, w1, b1, g_, b_, w2f, cb,
+                    at, bi, c_tile=c_tile,
+                    interpret=jax.default_backend() != "tpu",
+                )
+        else:
+            def pe_call(xj_node, ps, pt, v, q, w1, b1, g_, b_, w2f, cb,
+                        at, bi):
+                return fused_pe_link_attention(
+                    xj_node, ps, pt, v, q, w1, b1, g_, b_, w2f, cb, at, bi,
+                    c_tile=c_tile, tile_classes=tile_classes,
+                    interpret=jax.default_backend() != "tpu",
+                )
 
         def pe_fwd(c, ops):
             o = list(ops)

@@ -79,6 +79,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--budget-cn", type=int, default=None)
     p.add_argument("--budget-onehop", type=int, default=None)
     p.add_argument("--budget-non1hop", type=int, default=None)
+    p.add_argument("--budget-combined", type=str, default=None,
+                   help="combined (class-tagged) context table: one "
+                        "cross-class budget replacing the per-class "
+                        "blocks — class-count tails don't stack, so it "
+                        "typically runs the same context sets in far "
+                        "fewer static slots (key gather + attention "
+                        "kernel + scatter VJP all scale with it). An "
+                        "int, or 'auto' = p99.9 of the measured TOTAL "
+                        "per-link count. Default: off (per-class "
+                        "blocks)")
     p.add_argument("--adj-cap", type=int, default=None)
     p.add_argument("--ppr-cap", type=int, default=None)
     p.add_argument("--single-propagate", action="store_true", default=False,
@@ -235,6 +245,20 @@ def build_config(args, ds):
                 budgets[1] or 2 * adj_cap,
                 budgets[2] or ppr_cap,
             )
+    bc = getattr(args, "budget_combined", None)
+    if bc == "auto":
+        from lpformer_tpu.utils.budgets import derive_budgets
+
+        d4 = derive_budgets(
+            ds, args.thresh_cn, args.thresh_1hop, args.thresh_non1hop,
+            include_combined=True,
+        )
+        bc = d4[3] if d4 is not None else None
+        if bc is not None and not args.non_verbose:
+            print(f"[budgets] measured combined budget: {bc} "
+                  f"(p99.9 of total per-link count)", flush=True)
+    elif bc is not None:
+        bc = int(bc)
     return LPFormerConfig(
         dim=args.dim,
         num_heads=args.num_heads,
@@ -255,6 +279,7 @@ def build_config(args, ds):
         budget_cn=budgets[0],
         budget_onehop=budgets[1],
         budget_non1hop=budgets[2],
+        budget_combined=bc,
         use_pallas_attention=args.pallas_attention,
         matmul_dtype=args.matmul_dtype,
     )

@@ -63,6 +63,13 @@ class LPFormerConfig:
     budget_cn: int = 128
     budget_onehop: int = 256
     budget_non1hop: int = 128
+    # combined (class-tagged) context table: one cross-class budget
+    # replacing the per-class blocks. Class-count tails do not stack, so
+    # a total-tail-sized combined table carries the same context sets in
+    # far fewer static slots — the [B, C] width drives the key gather,
+    # the fused attention kernel, and its scatter VJP. None = classic
+    # per-class blocks (see ops/context.ContextConfig.budget_combined)
+    budget_combined: "int | None" = None
 
     @property
     def mm_dtype(self):
@@ -86,6 +93,7 @@ class LPFormerConfig:
             budget_onehop=self.budget_onehop,
             budget_non1hop=self.budget_non1hop,
             att_drop=self.att_drop,
+            budget_combined=self.budget_combined,
         )
 
     @property

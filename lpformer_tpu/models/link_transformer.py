@@ -189,9 +189,21 @@ def _pos_encodings(
         return out if out_dtype is None else out.astype(out_dtype)
 
     c = cfg.context
+    ps, pt = ctx.src_ppr, ctx.tgt_ppr
+    if c.budget_combined is not None:
+        # combined (class-tagged) table: every active class MLP runs
+        # over the full [B, C] table and the per-slot class selects —
+        # K-fold compute, but on a table sized to the TOTAL-count tail
+        # (< 1/2 of the stacked per-class budgets), and the XLA path is
+        # the fallback; the production kernel selects in VMEM
+        out = None
+        for name, code in _encoder_codes(cfg):
+            pe = sym(params[name], ps, pt)
+            m = (ctx.cls == code).astype(pe.dtype)[..., None]
+            out = pe * m if out is None else out + pe * m
+        return out
     blocks = []
     ofs = 0
-    ps, pt = ctx.src_ppr, ctx.tgt_ppr
     blocks.append(
         sym(params["ppr_encoder_cn"],
             ps[:, ofs:ofs + c.budget_cn], pt[:, ofs:ofs + c.budget_cn])
@@ -210,6 +222,17 @@ def _pos_encodings(
                 ps[:, ofs:], pt[:, ofs:])
         )
     return jnp.concatenate(blocks, axis=1)
+
+
+def _encoder_codes(cfg: LPFormerConfig):
+    """Active (encoder-name, context-class-code) pairs, in the canonical
+    [cn(2), 1-hop(1), >1-hop(3)] order (codes: ops/context.ContextTables)."""
+    pairs = [("ppr_encoder_cn", 2)]
+    if cfg.mask_mode != "cn":
+        pairs.append(("ppr_encoder_onehop", 1))
+    if cfg.mask_mode == "all":
+        pairs.append(("ppr_encoder_non1hop", 3))
+    return pairs
 
 
 def _gather_ids(ctx: ContextTables, num_real_rows: int) -> jnp.ndarray:
@@ -321,6 +344,21 @@ def _pe_tiles(cfg: LPFormerConfig) -> Tuple[int, tuple]:
     from lpformer_tpu.ops.pallas.pe_attention import pe_attention_tile
 
     c = cfg.context
+    if c.budget_combined is not None:
+        # combined table: tiles are mixed-class; the mixed kernel selects
+        # per-slot weights in VMEM, so any tile dividing the budget
+        # works. Cap the tile at 32 rows: dead-tile gating needs
+        # fine-grained tiles (the table is front-compacted per link with
+        # a p50 count of ~2, so most of the budget width is dead — one
+        # 128-wide tile per block never gates; measured 14.8 ms vs the
+        # classic kernel's 8.1 on the collab-like step).
+        import math
+
+        ct = pe_attention_tile(
+            [math.gcd(c.budget_combined, 32)],
+            min_tile=8 if cfg.use_pallas_attention else 32,
+        )
+        return ct, None
     budgets = [c.budget_cn]
     if cfg.mask_mode != "cn":
         budgets.append(c.budget_onehop)
@@ -384,14 +422,32 @@ def _att_layer_apply_pallas(
         w2f.append(l2["w"].astype(jnp.float32) @ W_fold)
         cbias.append(2.0 * (l2["b"].astype(jnp.float32) @ W_fold) + r_bias)
 
-    out = fused_pe_link_attention(
-        xj_node, ctx.src_ppr, ctx.tgt_ppr, ctx.valid, e1 + e2,
-        jnp.stack(w1), jnp.stack(b1), jnp.stack(g_ln), jnp.stack(b_ln),
-        jnp.stack(w2f), jnp.stack(cbias),
-        lp["att"], lp["bias"],
-        c_tile=c_tile, tile_classes=tile_classes,
-        interpret=jax.default_backend() != "tpu",
-    )
+    if tile_classes is None:
+        # combined class-tagged table: per-slot class selection in-kernel
+        from lpformer_tpu.ops.pallas.pe_attention_mixed import (
+            fused_pe_link_attention_mixed,
+        )
+
+        ecls = jnp.zeros(ctx.cls.shape, jnp.int32)
+        for k, (_, code) in enumerate(_encoder_codes(cfg)):
+            ecls = jnp.where(ctx.cls == code, k, ecls)
+        out = fused_pe_link_attention_mixed(
+            xj_node, ctx.src_ppr, ctx.tgt_ppr, ctx.valid, ecls, e1 + e2,
+            jnp.stack(w1), jnp.stack(b1), jnp.stack(g_ln), jnp.stack(b_ln),
+            jnp.stack(w2f), jnp.stack(cbias),
+            lp["att"], lp["bias"],
+            c_tile=c_tile,
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        out = fused_pe_link_attention(
+            xj_node, ctx.src_ppr, ctx.tgt_ppr, ctx.valid, e1 + e2,
+            jnp.stack(w1), jnp.stack(b1), jnp.stack(g_ln), jnp.stack(b_ln),
+            jnp.stack(w2f), jnp.stack(cbias),
+            lp["att"], lp["bias"],
+            c_tile=c_tile, tile_classes=tile_classes,
+            interpret=jax.default_backend() != "tpu",
+        )
     out = nn.layer_norm_apply(lp["post_norm"], out)
     if train and cfg.dropout > 0 and rng is not None:
         out = nn.dropout(rng, out, cfg.dropout, train)

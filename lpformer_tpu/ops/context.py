@@ -64,6 +64,16 @@ class ContextConfig:
     budget_onehop: int = 256
     budget_non1hop: int = 128
     att_drop: float = 0.0
+    # Combined (class-tagged) context table: one cross-class budget
+    # instead of per-class blocks. Class count tails do not stack (the
+    # collab-like bench: per-class p99.9 budgets 64/128/128 = 320 slots
+    # vs a measured p100 TOTAL of ~107), so a combined table sized to
+    # the total-count tail carries the SAME context sets in ~1/3 the
+    # static slots — the [B, C] width drives the key gather, the fused
+    # attention kernel, and its scatter VJP (~40% of the r4 step).
+    # None = classic per-class blocks. Overflow policy stays top-by-
+    # (ppr_s + ppr_t), now across classes (see _compact).
+    budget_combined: "int | None" = None
 
     @staticmethod
     def from_thresholds(
@@ -90,6 +100,8 @@ class ContextConfig:
 
     @property
     def total_budget(self) -> int:
+        if self.budget_combined is not None:
+            return self.budget_combined
         if self.mask_mode == "cn":
             return self.budget_cn
         if self.mask_mode == "1-hop":
@@ -209,10 +221,13 @@ def _compact(
     threshold are admitted in ascending-id order via a prefix count.
     The surviving set then compacts with the same one-hot scatter.
 
-    ``cls_val`` must be a scalar class code (each class compacts its own
-    table). Returns (ids, cls, ps, pt, valid, n_dropped).
+    ``cls_val`` is a scalar class code when each class compacts its own
+    table (3-lane contraction), or a [B, I] per-slot class array for the
+    COMBINED cross-class compaction (``budget_combined``), which adds a
+    4th cls lane and makes the top-by-ppr retention global across
+    classes. Returns (ids, cls, ps, pt, valid, n_dropped).
     """
-    assert jnp.ndim(cls_val) == 0, "per-class compaction expects scalar cls"
+    mixed_cls = jnp.ndim(cls_val) != 0
     b, i = valid.shape
     if i > budget:
         # top-by-(ppr_s + ppr_t) retention under budget pressure
@@ -236,23 +251,26 @@ def _compact(
     # columns reduce to 0, real ids come back as id+1; id+1 <= 2^24 is
     # exact in f32 for every target graph) — the fused VPU reduce XLA
     # emits for this contraction scales with the lane count (r4)
-    stacked = jnp.stack(
-        [
-            ids.astype(jnp.float32) + 1.0,
-            ps.astype(jnp.float32),
-            pt.astype(jnp.float32),
-        ],
-        axis=-1,
-    )                                                           # [B, I, 3]
+    lanes = [
+        ids.astype(jnp.float32) + 1.0,
+        ps.astype(jnp.float32),
+        pt.astype(jnp.float32),
+    ]
+    if mixed_cls:
+        lanes.append(cls_val.astype(jnp.float32))
+    stacked = jnp.stack(lanes, axis=-1)                         # [B, I, L]
     out = jax.lax.dot_general(
         oh, stacked, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,  # see docstring: exactness
-    )                                                           # [B, O, 3]
+    )                                                           # [B, O, L]
     idsp1 = out[..., 0].astype(jnp.int32)
     v2 = idsp1 > 0
     ids2 = jnp.where(v2, idsp1 - 1, num_nodes)
-    cls2 = jnp.where(v2, cls_val, 0).astype(jnp.int32)
+    if mixed_cls:
+        cls2 = jnp.where(v2, out[..., 3].astype(jnp.int32), 0)
+    else:
+        cls2 = jnp.where(v2, cls_val, 0).astype(jnp.int32)
     ps2 = out[..., 1]
     pt2 = out[..., 2]
     n_valid = jnp.sum(valid.astype(jnp.int32), axis=1)
@@ -449,6 +467,36 @@ def extract_context_rows(
         num_non1hop = jnp.zeros_like(num_cns)
     num_neighbors = num_cns + num_1hop
     counts = jnp.stack([num_cns, num_1hop, num_non1hop, num_neighbors], -1)
+
+    if cfg.budget_combined is not None:
+        # --- ONE cross-class compaction into the combined table ---
+        # The raw candidate segments are class-disjoint by construction
+        # (cn on the src row; 1-hop-via-tgt excludes b_in_src; >1-hop
+        # excludes both 1-hop neighborhoods), so a single concatenated
+        # pass with a per-slot cls lane produces exactly the union of
+        # the per-class sets — with global top-by-(ppr_s + ppr_t)
+        # retention under budget pressure instead of per-class budgets.
+        segs = [(a_n, ps_a, pt_a, cn_a, 2)]
+        if cfg.mask_mode != "cn":
+            segs.append((a_n, ps_a, pt_a, onehop_a, 1))
+            segs.append((b_n, ps_b, pt_b, onehop_b, 1))
+        if cfg.mask_mode == "all":
+            segs.append((p_n, ps_n, pt_n, non1, 3))
+        ids_all = jnp.concatenate([s[0] for s in segs], axis=1)
+        ps_all = jnp.concatenate([s[1] for s in segs], axis=1)
+        pt_all = jnp.concatenate([s[2] for s in segs], axis=1)
+        v_all = jnp.concatenate([s[3] for s in segs], axis=1)
+        cls_all = jnp.concatenate(
+            [jnp.full(s[0].shape, s[4], jnp.int32) for s in segs], axis=1
+        )
+        ids2, cls2, ps2, pt2, v2, dropped = _compact(
+            ids_all, cls_all, ps_all, pt_all, v_all,
+            cfg.budget_combined, n,
+        )
+        return ContextTables(
+            ids=ids2, cls=cls2, src_ppr=ps2, tgt_ppr=pt2, valid=v2,
+            counts=counts, overflow=dropped,
+        )
 
     # --- compaction to per-class budgets ---
     blocks = []

@@ -43,8 +43,12 @@ _NEG = -1e30
 
 
 def _class_blocks(cfg: LPFormerConfig):
-    """(offset, size, encoder-name) per active node class."""
+    """(offset, size, encoder-name) per active node class. In combined
+    (class-tagged) mode there is ONE mixed block; its encoder is chosen
+    per slot (name None)."""
     c = cfg.context
+    if c.budget_combined is not None:
+        return [(0, c.budget_combined, None)]
     blocks = [(0, c.budget_cn, "ppr_encoder_cn")]
     ofs = c.budget_cn
     if cfg.mask_mode != "cn":
@@ -60,7 +64,7 @@ def check_cp_budgets(cfg: LPFormerConfig, g: int) -> None:
         if size % g != 0:
             raise ValueError(
                 f"context-parallel axis size {g} must divide every class "
-                f"budget; {name} block has budget {size}"
+                f"budget; {name or 'combined'} block has budget {size}"
             )
 
 
@@ -95,7 +99,21 @@ def _pos_encodings_sliced(
             ctx.src_ppr, ofs + k * s, s, axis=1)
         pt = jax.lax.dynamic_slice_in_dim(
             ctx.tgt_ppr, ofs + k * s, s, axis=1)
-        out.append(sym(params[name], ps, pt))
+        if name is None:
+            # combined mixed-class slice: every active encoder runs on
+            # the slice, the per-slot class selects
+            from lpformer_tpu.models.link_transformer import _encoder_codes
+
+            cls = jax.lax.dynamic_slice_in_dim(
+                ctx.cls, ofs + k * s, s, axis=1)
+            acc = None
+            for ename, code in _encoder_codes(cfg):
+                pe = sym(params[ename], ps, pt)
+                m = (cls == code).astype(pe.dtype)[..., None]
+                acc = pe * m if acc is None else acc + pe * m
+            out.append(acc)
+        else:
+            out.append(sym(params[name], ps, pt))
     return jnp.concatenate(out, axis=1)
 
 

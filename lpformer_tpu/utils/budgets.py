@@ -41,9 +41,14 @@ def derive_budgets(
     thresh_non1hop: float,
     sample: int = 2048,
     seed: int = 0,
-) -> Optional[Tuple[int, int, int]]:
+    include_combined: bool = False,
+) -> Optional[Tuple[int, ...]]:
     """Measured (budget_cn, budget_onehop, budget_non1hop) for this
-    dataset at these thresholds, or None when no CPU backend exists."""
+    dataset at these thresholds, or None when no CPU backend exists.
+    With ``include_combined`` a 4th element is appended: the p99.9 of
+    the TOTAL per-link count — the combined (class-tagged) table budget
+    (ContextConfig.budget_combined). Class tails do not stack, so this
+    is typically far below the summed per-class budgets."""
     import jax
     import jax.numpy as jnp
 
@@ -85,4 +90,8 @@ def derive_budgets(
     b_cn = _rec(q(counts[:, 0]), 32, adj_cap)
     b_oh = _rec(q(counts[:, 1]), 32, 2 * adj_cap)
     b_n1 = _rec(q(counts[:, 2]), 32, ppr_cap)
-    return b_cn, b_oh, b_n1
+    if not include_combined:
+        return b_cn, b_oh, b_n1
+    total = counts[:, 0] + counts[:, 1] + counts[:, 2]
+    b_all = _rec(q(total), 32, 2 * adj_cap + ppr_cap)
+    return b_cn, b_oh, b_n1, b_all

@@ -24,6 +24,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--f32", action="store_true")
     ap.add_argument("--no-ell", action="store_true")
+    ap.add_argument("--no-combined", action="store_true",
+                    help="profile the classic per-class-block step")
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--out", type=str, default="/tmp/step_trace")
     ap.add_argument("--top", type=int, default=40)
@@ -58,6 +60,8 @@ def main():
         dim=p["dim"], gnn_layers=p["gnn_layers"],
         budget_cn=p["budgets"][0], budget_onehop=p["budgets"][1],
         budget_non1hop=p["budgets"][2],
+        budget_combined=(None if args.no_combined
+                         else p.get("combined")),
         matmul_dtype="float32" if args.f32 else "bfloat16",
     )
     params = init_lpformer(jax.random.PRNGKey(0), cfg, in_dim=p["feat"])

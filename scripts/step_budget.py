@@ -58,7 +58,10 @@ def categorize(base: str, shape: str, tf_op: str) -> str:
         if base.startswith("transpose_jvp"):
             return "gather-VJP: Pallas scatter kernel"
         return "gather-VJP: layout/worklist"
-    if "gather_rows" in tf_op or re.match(r"(bf16|f32)\[131\d{4},", shape):
+    if "gather_rows" in tf_op or re.match(
+            r"(bf16|f32)\[(131\d{4}|5242\d{2}),", shape):
+        # 1.31M rows = classic per-class blocks (B*320); 524288 = the
+        # combined class-tagged table (B*128)
         return "context key gather (fwd)"
     if "_spmm" in tf_op or "gcn" in tf_op:
         return "SpMM (GCN propagation fwd+bwd)"

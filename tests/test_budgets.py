@@ -61,3 +61,16 @@ def test_build_config_uses_measured_budgets():
     cfg2 = build_config(args2, ds)
     assert cfg2.budget_cn == 48
     assert cfg2.budget_onehop == want[1]
+
+
+def test_derive_budgets_include_combined():
+    ds = _ds()
+    got = derive_budgets(ds, 0.0, 1e-4, 1e-4, sample=512,
+                         include_combined=True)
+    assert got is not None and len(got) == 4
+    b_cn, b_oh, b_n1, b_all = got
+    assert b_all % 32 == 0
+    # the combined budget never exceeds the stacked per-class budgets
+    # and never exceeds what the rows can physically supply
+    assert b_all <= b_cn + b_oh + b_n1
+    assert b_all <= 2 * 64 + 128

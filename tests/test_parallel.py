@@ -402,3 +402,31 @@ def test_sharded_mask_input_loss_matches_single_device():
                  neg[0], neg[1], w, rng)
         )
         assert abs(got - want) < 2e-4, (d, g, got, want)
+
+
+def test_sharded_loss_combined_context_matches_single_device():
+    """budget_combined flows through the sharded step (extraction runs
+    on collectively fetched rows): mesh loss == single-device loss."""
+    import dataclasses
+
+    ds, cfg0, params, src, tgt, neg, w, rng = _setup()
+    cfg = dataclasses.replace(
+        cfg0, budget_combined=cfg0.context.total_budget)
+    want = float(_single_device_loss(ds, cfg, params, src, tgt, neg, w, rng))
+    # and the combined table really is in play (same loss as classic,
+    # since the budget admits every entry)
+    base = float(_single_device_loss(ds, cfg0, params, src, tgt, neg, w, rng))
+    assert abs(want - base) < 2e-4
+
+    for d, g in ((2, 4), (8, 1)):
+        mesh = make_mesh(data=d, graph=g, devices=jax.devices()[: d * g])
+        sg = partition_graph(ds.graph, g=g, d=d)
+        loss = jax.jit(
+            make_sharded_loss(cfg, mesh, ds.num_nodes, sg.rows_per_shard,
+                              sg.ctx_rows_per_shard, train=True)
+        )
+        got = float(
+            loss(params, sg, ds.mask_mult_device, src, tgt, w,
+                 neg[0], neg[1], w, rng)
+        )
+        assert abs(got - want) < 2e-4, (d, g, got, want)
