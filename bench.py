@@ -64,23 +64,31 @@ PRESETS = {
     # citation2-scale: 1M nodes / 5M sym edges, big batch, small dim
     # (reference config: dim 64, bs 32768, replicate_existing.sh:19);
     # budgets tile-aligned to 32 for the fused PE+attention kernel
+    # combined=96: measured total-count p99.9 = 95 over 8k sampled
+    # links (vs 160 stacked per-class slots; the per-class budgets also
+    # truncate harder per class — cn alone tails at 95 vs budget 32)
     "citation2-like": dict(nodes=1_000_000, edges=5_000_000, feat=96,
                            dim=64, batch=32_768, budgets=(32, 64, 64),
-                           gnn_layers=3),
+                           gnn_layers=3, combined=96),
     # ppa-like: 576k nodes / 15M sym edges (high mean degree ~26), dim 64,
     # big batch (reference config: dim 64, bs 32768, residual,
     # replicate_existing.sh:16). Dataset build (PPR push) takes ~30 min.
+    # combined=96: measured total-count p99.9 = 95 (vs 320 stacked)
     "ppa-like": dict(nodes=576_000, edges=15_000_000, feat=64,
                      dim=64, batch=32_768, budgets=(64, 128, 128),
-                     gnn_layers=3),
+                     gnn_layers=3, combined=96),
     # ddi-like: small dense graph, big contexts, dim 256 (the >32GB-GPU
     # shape in the reference, README.md:42). With the fused PE+attention
     # kernel the [B, C, dim] pairwise transients never hit HBM, so the
     # monolithic step fits 16GB — no grad accumulation needed (accum=4
     # benched 320.7 ms vs 269.6 monolithic; --grad-accum 4 is the
     # XLA-attention-era fallback).
+    # combined=128: measured total-count p100 = 95 over 8k sampled links
+    # (cn-dominated, bounded by adj_cap 96) vs 768 stacked per-class
+    # slots — an 8x slot reduction at identical context sets
     "ddi-like": dict(nodes=4_096, edges=500_000, feat=256, dim=256,
-                     batch=4096, budgets=(128, 320, 320), gnn_layers=3),
+                     batch=4096, budgets=(128, 320, 320), gnn_layers=3,
+                     combined=128),
 }
 
 

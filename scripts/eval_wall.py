@@ -31,6 +31,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32768)
+    ap.add_argument("--budget-combined", type=int, default=None,
+                    help="score with the combined class-tagged context "
+                         "table at this budget (None = classic blocks)")
     ap.add_argument("--groups", type=int, default=4,
                     help="EVAL_GROUP-batch launches to time")
     ap.add_argument("--out", type=str, default="eval_wall.json")
@@ -57,7 +60,8 @@ def main():
     cfg = LPFormerConfig(
         dim=p["dim"], gnn_layers=p["gnn_layers"],
         budget_cn=p["budgets"][0], budget_onehop=p["budgets"][1],
-        budget_non1hop=p["budgets"][2], matmul_dtype="bfloat16",
+        budget_non1hop=p["budgets"][2],
+        budget_combined=args.budget_combined, matmul_dtype="bfloat16",
     )
     params = init_lpformer(jax.random.PRNGKey(0), cfg, in_dim=p["feat"])
 
@@ -113,6 +117,7 @@ def main():
 
     artifact = {
         "preset": "citation2-like",
+        "budget_combined": args.budget_combined,
         "batch": b,
         "eval_group": harness.EVAL_GROUP,
         "propagate_ms": round(prop_ms, 2),
