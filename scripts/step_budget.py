@@ -51,6 +51,10 @@ def categorize(base: str, shape: str, tf_op: str) -> str:
     if "fused_pe_link_attention" in base or "fused_pe_link_attention" in tf_op:
         return "attention-kernel (Pallas fwd/bwd)"
     if "_scatter_sorted" in tf_op or "scatter_sorted" in base:
+        # transpose_jvp first: the Pallas scatter custom-call's base name
+        # contains "scatter_sorted" (and hence "sort") itself
+        if base.startswith("transpose_jvp"):
+            return "gather-VJP: Pallas scatter kernel"
         if "sort" in base or "/sort" in tf_op:
             return "gather-VJP: segmented sort"
         if "_take" in tf_op or "gather" in tf_op or "dynamic-update" in base:
@@ -73,7 +77,9 @@ def categorize(base: str, shape: str, tf_op: str) -> str:
             r"pred\[\d{6,},128\]", shape) or re.search(
             r"pred\[4096,", shape):
         return "context extraction (compare-all, PE tables)"
-    if re.search(r"bf16\[(1[0-7]\d{4}|[2-9]\d{4}),128\]", shape):
+    if re.search(r"(bf16|f32)\[(1[0-7]\d{4}|[2-9]\d{4}),128\]", shape):
+        # ELL bucket gathers/converts/segment sums (bf16 gather rows and
+        # their f32 convert/reduce tails)
         return "SpMM (GCN propagation fwd+bwd)"
     if "dynamic-update-slice" in base or base == "while":
         return "SpMM (GCN propagation fwd+bwd)"
