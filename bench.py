@@ -155,6 +155,13 @@ def main():
     ap.add_argument("--no-combined", action="store_true",
                     help="disable the combined context table (A/B: "
                          "classic per-class blocks)")
+    ap.add_argument("--blk-block", type=int, default=None,
+                    help="rebuild the BlockedCOO tiling with this block "
+                         "size (A/B: gather-slice locality vs tile "
+                         "count; default 131072)")
+    ap.add_argument("--blocked-coo", action="store_true",
+                    help="A/B: the segment-sum BlockedCOO tiling instead "
+                         "of the scatter-free BlockedBELL on big graphs")
     ap.add_argument("--no-blocked", action="store_true",
                     help="disable the tiled BlockedCOO SpMM on big "
                          "graphs (A/B: bucketed-ELL path instead)")
@@ -245,7 +252,28 @@ def main():
     )
     import dataclasses
 
-    if args.no_blocked and ds.graph.blk is not None:
+    if args.blk_block and ds.graph.bbell is not None:
+        from lpformer_tpu.graph.containers import BlockedBELL
+        import numpy as _n
+
+        bb = BlockedBELL.from_coo(
+            _n.asarray(ds.graph.edge_src), _n.asarray(ds.graph.edge_dst),
+            ds.num_nodes, w_norm=_n.asarray(ds.graph.w_norm),
+            block=args.blk_block,
+        )
+        ds.graph = dataclasses.replace(ds.graph, bbell=bb)
+    if args.blocked_coo and ds.graph.bbell is not None:
+        # A/B: the segment-sum BlockedCOO tiling instead of BlockedBELL
+        from lpformer_tpu.graph.containers import BlockedCOO
+        import numpy as _n
+
+        blk = BlockedCOO.from_coo(
+            _n.asarray(ds.graph.edge_src), _n.asarray(ds.graph.edge_dst),
+            ds.num_nodes, w_norm=_n.asarray(ds.graph.w_norm),
+        )
+        ds.graph = dataclasses.replace(ds.graph, bbell=None, blk=blk)
+    if args.no_blocked and (ds.graph.blk is not None
+                            or ds.graph.bbell is not None):
         # rebuild the ELL so the A/B baseline is the round-2 production
         # path, not bare COO
         from lpformer_tpu.graph.containers import BucketedELL
@@ -255,7 +283,8 @@ def main():
             _n.asarray(ds.graph.edge_src), _n.asarray(ds.graph.edge_dst),
             ds.num_nodes, w_norm=_n.asarray(ds.graph.w_norm),
         )
-        ds.graph = dataclasses.replace(ds.graph, blk=None, ell=ell)
+        ds.graph = dataclasses.replace(ds.graph, blk=None, bbell=None,
+                                       ell=ell)
     if args.no_ell and ds.graph.ell is not None:
         ds.graph = dataclasses.replace(ds.graph, ell=None)
     print(f"[bench] dataset built in {time.time()-t0:.1f}s "
@@ -367,6 +396,7 @@ def main():
         "steps_per_call": spc,
         "mask_input": args.mask_input,
         "blocked_spmm": ds.graph.blk is not None,
+        "bbell_spmm": ds.graph.bbell is not None,
         "step_ms": round(dt * 1e3, 2),
         "links_per_s": round(links_per_s, 1),
         "step_tflops": round(est.achieved_flops / 1e12, 3),

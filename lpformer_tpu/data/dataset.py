@@ -132,19 +132,24 @@ def build_graph_bundle(
     # blk is built (dead weight in HBM otherwise).
     if build_blocked is None:
         build_blocked = num_nodes >= 262_144
-    from lpformer_tpu.graph.containers import BlockedCOO
+    from lpformer_tpu.graph.containers import BlockedBELL, BlockedCOO
 
-    # te (original edge ids, ~E x int32 of HBM) exists only for dynamic
-    # re-weighting under --mask-input; static-norm runs skip it
-    blk = (
-        BlockedCOO.from_coo(
-            ps_, pd_, num_nodes, w_norm=w_norm, with_edge_ids=mask_input
-        )
-        if build_blocked
-        else None
-    )
+    # Big-graph layouts: the scatter-free slice-local BlockedBELL is the
+    # production path; it carries STATIC prelaid weights only, so the
+    # --mask-input variant (per-batch masked renormalization) keeps the
+    # dynamically re-weightable BlockedCOO instead (its te edge ids
+    # exist only in that case — ~E x 4 bytes of HBM).
+    bbell = None
+    blk = None
+    if build_blocked:
+        if mask_input:
+            blk = BlockedCOO.from_coo(
+                ps_, pd_, num_nodes, w_norm=w_norm, with_edge_ids=True
+            )
+        else:
+            bbell = BlockedBELL.from_coo(ps_, pd_, num_nodes, w_norm=w_norm)
     if build_ell is None:
-        build_ell = blk is None
+        build_ell = blk is None and bbell is None
     # degree-bucketed ELL: scatter-free SpMM with ~zero slot waste and no
     # overflow path (host build keeps everything numpy until the end)
     ell = (
@@ -154,6 +159,7 @@ def build_graph_bundle(
     )
     return GraphBundle(
         blk=blk,
+        bbell=bbell,
         x=jnp.asarray(x, jnp.float32),
         edge_src=jnp.asarray(ps_, jnp.int32),
         edge_dst=jnp.asarray(pd_, jnp.int32),

@@ -307,11 +307,14 @@ class BucketedELL:
         edge_dst: np.ndarray,
         num_nodes: int,
         w_norm: Optional[np.ndarray] = None,
+        with_edge_ids: bool = True,
     ) -> Optional["BucketedELL"]:
         """Build from a (dst, src)-sorted COO edge list (host, numpy).
         ``w_norm`` attaches static slot weights (the host-precomputed GCN
         normalization); per-batch masked weights re-gather via
-        ``slot_edges`` instead."""
+        ``slot_edges`` instead — pass ``with_edge_ids=False`` to skip
+        storing them (~slots x 4 bytes of HBM) when only the static
+        weights will ever be used (e.g. BlockedBELL tiles)."""
         e = len(edge_dst)
         if e == 0 or num_nodes == 0:
             return None
@@ -357,14 +360,15 @@ class BucketedELL:
             outmap[rows] = offset + np.arange(nb_rows)
             offset += n_pad
             nbs.append(jnp.asarray(nb))
-            slot_edges.append(jnp.asarray(se.astype(np.int32)))
+            if with_edge_ids:
+                slot_edges.append(jnp.asarray(se.astype(np.int32)))
             if w_ext is not None:
                 w_slots.append(jnp.asarray(w_ext[se]))
             caps.append(int(cap))
         outmap[deg == 0] = offset  # zeros row appended by the op
         return BucketedELL(
             nbs=tuple(nbs),
-            slot_edges=tuple(slot_edges),
+            slot_edges=tuple(slot_edges) if with_edge_ids else None,
             w_slots=tuple(w_slots) if w_ext is not None else None,
             outmap=jnp.asarray(outmap.astype(np.int32)),
             caps=tuple(caps),
@@ -475,6 +479,91 @@ class BlockedCOO:
 
 @partial(
     jax.tree_util.register_dataclass,
+    data_fields=["tiles"],
+    meta_fields=["block", "kb", "num_nodes", "num_edges"],
+)
+@dataclasses.dataclass(frozen=True)
+class BlockedBELL:
+    """(dst_block x src_block)-tiled degree-bucketed ELL: scatter-free
+    SpMM with slice-local gathers — the big-graph production layout.
+
+    BlockedCOO fixed the gather-footprint problem (row rate from a
+    [576k-1M, 64] table is 53-86 Mrows/s vs ~291-340 from a <=16 MB
+    slice) but reintroduced a per-tile sorted segment_sum, which the r5
+    ppa-like profile showed running ~4x above the gather rate (one
+    [131073, 64] fusion x 150 calls = 85% of the 2.77 s step).
+    BucketedELL is scatter-free but gathers from the full table.
+    This layout composes both: every tile is a small BucketedELL whose
+    rows are dst-local and whose slot ids are src-local, so the per-tile
+    sweep is dense slot gathers from one x-slice + einsum + ONE
+    [rows_jj]-row un-permute gather; dst-block accumulation is a plain
+    elementwise add. No scatter anywhere, every gather small-operand.
+
+    Static weights only (w_slots prelaid): dynamic re-weighting
+    (--mask-input) keeps the BlockedCOO path (data/dataset.py selects).
+    """
+
+    tiles: tuple         # kb*kb entries: BucketedELL (dst-local rows,
+                         # src-local slot ids, static w_slots) or None
+    block: int
+    kb: int
+    num_nodes: int
+    num_edges: int
+
+    @staticmethod
+    def from_coo(
+        edge_src: np.ndarray,
+        edge_dst: np.ndarray,
+        num_nodes: int,
+        w_norm: np.ndarray,
+        block: int = 131072,
+    ) -> Optional["BlockedBELL"]:
+        """Build from a (dst, src)-sorted COO with static normalized
+        weights (host, numpy)."""
+        e = len(edge_dst)
+        if e == 0 or num_nodes == 0:
+            return None
+        kb = -(-num_nodes // block)
+        if kb <= 1:
+            return None
+        src = np.asarray(edge_src)
+        dst = np.asarray(edge_dst)
+        w = np.asarray(w_norm, np.float32)
+        sb = src // block
+        db = dst // block
+        tiles = []
+        for jj in range(kb):
+            rows_jj = min(block, num_nodes - jj * block)
+            mj = db == jj
+            for ii in range(kb):
+                m = mj & (sb == ii)
+                if not m.any():
+                    tiles.append(None)
+                    continue
+                # masking a dst-sorted list preserves dst order, which
+                # is all from_sorted_coo needs
+                tiles.append(BucketedELL.from_sorted_coo(
+                    (src[m] - ii * block).astype(np.int32),
+                    (dst[m] - jj * block).astype(np.int32),
+                    rows_jj,
+                    w_norm=w[m],
+                    with_edge_ids=False,
+                ))
+        return BlockedBELL(
+            tiles=tuple(tiles),
+            block=block,
+            kb=kb,
+            num_nodes=num_nodes,
+            num_edges=e,
+        )
+
+    @property
+    def slot_total(self) -> int:
+        return sum(t.slot_total for t in self.tiles if t is not None)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
     data_fields=[
         "x",
         "edge_src",
@@ -486,6 +575,7 @@ class BlockedCOO:
         "degree",
         "ell",
         "blk",
+        "bbell",
         "w_norm",
         "w_diag",
     ],
@@ -520,6 +610,11 @@ class GraphBundle:
     # gather row rate from big tables degrades ~6x — see BlockedCOO);
     # preferred over ell/COO when present
     blk: Optional[BlockedCOO] = None
+    # (dst_block x src_block)-tiled bucketed ELL: scatter-free
+    # slice-local SpMM for LARGE node tables with STATIC weights — the
+    # production big-graph layout; preferred over blk/ell/COO when
+    # present (see BlockedBELL)
+    bbell: Optional[BlockedBELL] = None
     # host-precomputed static GCN normalization of edge_w (unmasked
     # training + eval; ~23 ms/step of in-jit recompute on v5e otherwise).
     # Per-batch masked weights (--mask-input) recompute in-jit.

@@ -68,6 +68,7 @@ def gcn_apply(
     ell=None,
     norm=None,
     blk=None,
+    bbell=None,
 ) -> jnp.ndarray:
     # Normalization depends only on the (possibly batch-masked) weights;
     # compute once and share across layers (the reference's gcn_cache
@@ -92,7 +93,14 @@ def gcn_apply(
     blk_static = norm is not None and blk is not None and blk.tw is not None
     for i, conv in enumerate(params["convs"]):
         xi = nn.matmul(x, conv["w"], mm_dtype)
-        if blk is not None:
+        if bbell is not None and norm is not None:
+            # scatter-free slice-local tiles: the big-graph production
+            # path (ops/spmm.py:spmm_bbell). Static weights only — the
+            # in-jit masked-renorm path (norm is None) falls through to
+            # the dynamically re-weightable layouts.
+            xi = spmm.spmm_bbell(bbell, xi, diag=diag,
+                                 gather_dtype=mm_dtype)
+        elif blk is not None:
             # tiled small-slice gathers: the fast path for big node
             # tables (see ops/spmm.py:spmm_blocked)
             xi = spmm.spmm_blocked(

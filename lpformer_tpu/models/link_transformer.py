@@ -147,6 +147,7 @@ def propagate(
         ell=getattr(graph, "ell", None),
         norm=norm,
         blk=getattr(graph, "blk", None),
+        bbell=getattr(graph, "bbell", None),
     )
     return nn.layer_norm_apply(params["gnn_norm"], x)
 

@@ -35,6 +35,14 @@ one-hot MXU scatter: on overflow the entries with the largest
 :func:`_compact`; the reference has no budgets, so overflow handling is
 a framework approximation; counts stay exact). Overflow is reported per
 link so callers can size budgets (budget = cap is exact).
+
+With ``budget_combined`` set, the per-class blocks are replaced by ONE
+class-tagged table: the raw candidate segments (disjoint by
+construction) compact in a single 4-lane pass with a per-slot class
+code, and overflow keeps the global top by ``ppr_s + ppr_t``. Class
+count tails do not stack, so a total-tail-sized combined table carries
+the same context sets in far fewer static slots — the production
+performance mode (bench presets; the r5 collab-like step dropped 23%).
 """
 from __future__ import annotations
 

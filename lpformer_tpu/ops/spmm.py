@@ -342,6 +342,108 @@ def spmm_bell(
 
 
 # --------------------------------------------------------------------------
+# (dst_block x src_block)-tiled bucketed-ELL SpMM: scatter-free AND
+# slice-local — the big-graph production path
+# --------------------------------------------------------------------------
+
+def _bell_block(bell, xs, gather_dtype):
+    """One BlockedBELL tile: f32 [rows_jj, d] partial aggregate over a
+    source x-slice (the per-tier sweeps of :func:`_spmm_bell_raw`, f32
+    accumulation, no diag)."""
+    d = xs.shape[-1]
+    xg = xs if gather_dtype is None else xs.astype(gather_dtype)
+    bytes_per = jnp.dtype(gather_dtype or xs.dtype).itemsize
+    outs = []
+    for i, cap in enumerate(bell.caps):
+        nb = bell.nbs[i]
+        ws = bell.w_slots[i]
+        kc = int(max(1, min(cap,
+                            256e6 // max(nb.shape[0] * d * bytes_per, 1))))
+        outs.append(_tier_sweep(nb, ws, xg, jnp.float32, kc))
+    cat = jnp.concatenate(outs + [jnp.zeros((1, d), jnp.float32)], axis=0)
+    return cat[bell.outmap]
+
+
+def _spmm_bbell_raw(bb, x, diag, gather_dtype):
+    """out[v] = sum w_uv * x[u] (+ diag term) over a
+    :class:`~lpformer_tpu.graph.containers.BlockedBELL`.
+
+    Composes the two measured wins: every slot gather addresses ONE
+    <=16 MB x-slice (the gather engine's fast mode — BlockedCOO's
+    insight) AND the per-tile aggregation is the scatter-free bucketed
+    dense-slot einsum (BucketedELL's insight) with a [rows_jj]-row
+    un-permute gather; dst-block accumulation is a plain add. The r5
+    ppa-like profile showed BlockedCOO's per-tile sorted segment_sum
+    running ~4x above the gather rate (85% of the step); BucketedELL
+    alone pays the ~4-6x degraded full-table gather rate."""
+    n, d = x.shape
+    bs, kb = bb.block, bb.kb
+    xg = x if gather_dtype is None else x.astype(gather_dtype)
+    outs = []
+    for jj in range(kb):
+        rows_jj = min(bs, n - jj * bs)
+        acc = jnp.zeros((rows_jj, d), jnp.float32)
+        for ii in range(kb):
+            bell = bb.tiles[jj * kb + ii]
+            if bell is None:
+                continue
+            lo = ii * bs
+            width = bs if lo + bs <= n else n - lo
+            xs = jax.lax.dynamic_slice_in_dim(xg, lo, width, 0)
+            # pin the slice as a materialized small operand so XLA can't
+            # fuse it back into a full-table gather (see blocked path)
+            xs = jax.lax.optimization_barrier(xs)
+            acc = acc + _bell_block(bell, xs, None)
+        outs.append(acc)
+    out = jnp.concatenate(outs, axis=0).astype(x.dtype)
+    if diag is not None:
+        out = out + diag[:, None] * x
+    return out
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _spmm_bbell_symmetric(bb, x, diag, gather_dtype):
+    return _spmm_bbell_raw(bb, x, diag, gather_dtype)
+
+
+def _spmm_bbell_fwd(bb, x, diag, gather_dtype):
+    return _spmm_bbell_raw(bb, x, diag, gather_dtype), (bb, diag)
+
+
+def _spmm_bbell_bwd(gather_dtype, res, ct):
+    """Symmetric A: d/dx (A_hat x) = A_hat ct — the same tiled
+    scatter-free sweeps on the cotangent."""
+    bb, diag = res
+    dx = _spmm_bbell_raw(bb, ct, diag, gather_dtype)
+    import numpy as _np
+
+    def z(a):
+        if jnp.issubdtype(a.dtype, jnp.floating):
+            return jnp.zeros_like(a)
+        return _np.zeros(a.shape, dtype=jax.dtypes.float0)
+
+    bb_ct = jax.tree_util.tree_map(z, bb)
+    return bb_ct, dx, (None if diag is None else jnp.zeros_like(diag))
+
+
+_spmm_bbell_symmetric.defvjp(_spmm_bbell_fwd, _spmm_bbell_bwd)
+
+
+def spmm_bbell(
+    bb,
+    x: jnp.ndarray,
+    diag: Optional[jnp.ndarray] = None,
+    symmetric: bool = True,
+    gather_dtype=None,
+) -> jnp.ndarray:
+    """Tiled scatter-free SpMM over a :class:`BlockedBELL` (static
+    prelaid weights only — dynamic re-weighting uses BlockedCOO)."""
+    if symmetric:
+        return _spmm_bbell_symmetric(bb, x, diag, gather_dtype)
+    return _spmm_bbell_raw(bb, x, diag, gather_dtype)
+
+
+# --------------------------------------------------------------------------
 # (dst_block x src_block)-tiled COO SpMM for LARGE node tables
 # --------------------------------------------------------------------------
 

@@ -30,7 +30,8 @@ def main():
     ap.add_argument("--out", type=str, default="/tmp/step_trace")
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--preset", choices=("collab-like", "citation2-like",
-                                         "ddi-like"), default="collab-like")
+                                         "ppa-like", "ddi-like"),
+                    default="collab-like")
     args = ap.parse_args()
 
     import jax

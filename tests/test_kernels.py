@@ -395,3 +395,79 @@ def test_gcn_apply_blocked_matches_coo():
     got_d = gcn.gcn_apply(params, x, es, ed, ew, n, blk=blk)
     np.testing.assert_allclose(np.asarray(got_d), np.asarray(ref_d),
                                rtol=1e-5, atol=1e-5)
+
+
+def _bbell_graph(seed, n=300, m=1500, block=64):
+    from lpformer_tpu.graph.containers import BlockedBELL
+
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    s, d, w = pp.symmetrize(src, dst, None, n)
+    s2, d2, w2 = pp.sort_by_dst(s.astype(np.int32), d.astype(np.int32), w, n)
+    es, ed, ew = jnp.asarray(s2), jnp.asarray(d2), jnp.asarray(w2)
+    w_norm, diag = spmm.gcn_norm_device(es, ed, ew, n)
+    bb = BlockedBELL.from_coo(s2, d2, n, w_norm=np.asarray(w_norm),
+                              block=block)
+    return es, ed, jnp.asarray(w_norm), diag, bb, n
+
+
+def test_bbell_spmm_matches_coo():
+    """Scatter-free slice-local tiled SpMM == the COO path: with/without
+    diag, bf16-gather variant, ragged last block, empty tiles."""
+    es, ed, w_norm, diag, bb, n = _bbell_graph(0, n=300, block=64)
+    assert n % bb.block != 0 and bb.kb == 5
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((n, 24)), jnp.float32
+    )
+    ref = spmm.spmm(es, ed, w_norm, x, n, diag=diag)
+    got = spmm.spmm_bbell(bb, x, diag=diag)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    ref2 = spmm.spmm(es, ed, w_norm, x, n, gather_dtype=jnp.bfloat16)
+    got2 = spmm.spmm_bbell(bb, x, gather_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_bbell_spmm_grad_matches_coo():
+    es, ed, w_norm, diag, bb, n = _bbell_graph(3, n=257, block=64)
+    x = jnp.asarray(
+        np.random.default_rng(4).standard_normal((n, 12)), jnp.float32
+    )
+    t = jnp.asarray(
+        np.random.default_rng(5).standard_normal((n, 12)), jnp.float32
+    )
+    g_ref = jax.grad(
+        lambda v: (spmm.spmm(es, ed, w_norm, v, n, diag=diag) * t).sum()
+    )(x)
+    g_bb = jax.grad(
+        lambda v: (spmm.spmm_bbell(bb, v, diag=diag) * t).sum()
+    )(x)
+    np.testing.assert_allclose(np.asarray(g_bb), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_gcn_apply_prefers_bbell_static_only():
+    """gcn_apply takes the bbell path under a static norm, and falls
+    through to the dynamically re-weightable layouts when the norm is
+    recomputed in-jit (mask_input semantics)."""
+    from lpformer_tpu.models import gcn
+
+    es, ed, w_norm, diag, bb, n = _bbell_graph(6, n=200, block=64)
+    params = gcn.gcn_init(jax.random.PRNGKey(0), 16, 32, 32, num_layers=2)
+    x = jnp.asarray(
+        np.random.default_rng(7).standard_normal((n, 16)), jnp.float32
+    )
+    ew = jnp.ones_like(w_norm)
+    ref = gcn.gcn_apply(params, x, es, ed, ew, n, norm=(w_norm, diag))
+    got = gcn.gcn_apply(params, x, es, ed, ew, n, norm=(w_norm, diag),
+                        bbell=bb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # no static norm (dynamic weights): bbell must NOT be used — the
+    # COO fallback recomputes the norm in-jit and stays exact
+    ref_d = gcn.gcn_apply(params, x, es, ed, ew, n)
+    got_d = gcn.gcn_apply(params, x, es, ed, ew, n, bbell=bb)
+    np.testing.assert_allclose(np.asarray(got_d), np.asarray(ref_d),
+                               rtol=1e-5, atol=1e-5)
