@@ -214,14 +214,18 @@ def main():
 
     # persistent XLA compile cache: plain-XLA compiles through the axon
     # tunnel cost 140 s - 25 min per new program; a repeat bench at the
-    # same HEAD should pay none of it
-    os.environ.setdefault(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     ".jax_cache"),
-    )
-
+    # same HEAD should pay none of it. NOTE: this jax build does NOT
+    # read the JAX_COMPILATION_CACHE_DIR env var (verified: config
+    # stays None) — only the config API engages the cache.
     import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")),
+    )
 
     if args.smoke:
         jax.config.update("jax_platforms", "cpu")
