@@ -76,6 +76,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data-dir", type=str, default="dataset")
     p.add_argument("--platform", type=str, default=None,
                    help="jax platform override (cpu for local runs)")
+    p.add_argument("--jax-cache-dir", type=str,
+                   default=os.environ.get(
+                       "JAX_COMPILATION_CACHE_DIR",
+                       os.path.join("~", ".cache", "lpformer_tpu",
+                                    "jax_cache")),
+                   help="persistent XLA compile cache dir (empty string "
+                        "disables); repeat runs then skip the multi-"
+                        "minute TPU-tunnel compile of unchanged programs")
     p.add_argument("--budget-cn", type=int, default=None)
     p.add_argument("--budget-onehop", type=int, default=None)
     p.add_argument("--budget-non1hop", type=int, default=None)
@@ -325,6 +333,15 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    if args.jax_cache_dir:
+        # persistent compile cache — TPU-tunnel compiles cost minutes
+        # per new program. NOTE: this jax build ignores the
+        # JAX_COMPILATION_CACHE_DIR env var; the config API is the
+        # only route that engages the cache (see bench.py).
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser(args.jax_cache_dir))
 
     # multi-host bring-up MUST precede any backend-touching jax call
     from lpformer_tpu.parallel import distributed as dist
